@@ -1,0 +1,77 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a cheap terminal action
+(count via noop-write semantics) so executor work — scan, shuffle,
+agg — is fully measured while driver-side collection stays bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from data_ingestion_tool_spark import get_spark
+from data_ingestion_tool_spark.operators import registry
+
+#: Headline set: one per operator family, weighted toward the
+#: shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "customer_order_stats",
+    "agg_distinct",
+    "agg_rollup",
+    "window_rank_orders",
+    "topk_orders_per_customer",
+    "set_intersect_customers",
+    "scalar_json_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark("data_ingestion_tool_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    timings: dict[str, float] = {}
+    # warmup: JVM + parquet footer caches on a trivial action
+    reg[names[0]].builder(spark, sf_dir).limit(1).collect()
+
+    total = 0.0
+    for name in names:
+        start = time.perf_counter()
+        df = reg[name].builder(spark, sf_dir)
+        # Force full execution of the plan without collecting wide
+        # results to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 4)
+        total += elapsed
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,15 @@
+"""Operator registry: merge every module's SPECS into one dict."""
+
+from __future__ import annotations
+
+from data_ingestion_tool_spark.operators import relational
+from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
+
+_MODULES = [relational]
+
+
+def registry() -> dict[str, QuerySpec]:
+    return build_registry(*[m.SPECS for m in _MODULES])
+
+
+__all__ = ["QuerySpec", "registry"]

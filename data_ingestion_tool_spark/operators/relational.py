@@ -1,0 +1,757 @@
+"""Relational query library: the SQL-delegated surface of the reference.
+
+The reference executes arbitrary user SQL via ``spark.sql(query)``
+(reference box_export.py:36), so "same query capabilities" means the
+full join / aggregation / window / set-op / scalar-function surface.
+Each operator here is a named, oracle-checked DataFrame program
+(SURVEY.md §2.5-§2.9).
+
+Scale notes (100 TB design):
+
+- Dimension joins (region/nation/supplier/part/customer vs fact tables)
+  carry explicit ``broadcast`` hints — at cluster scale the dimensions
+  stay far below the broadcast threshold while lineitem/orders/events
+  shard across executors; no shuffle of the fact side on the dim key.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  handles skew splitting and post-shuffle coalescing.
+- Aggregations are expressed as single groupBy/agg so Catalyst plans
+  partial (map-side) + final aggregation; no driver-side loops.
+- Filters use literal predicates on the raw scan columns so they reach
+  the parquet reader (PushedFilters), and every query selects only the
+  columns it needs (ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.functions import (
+    SQL_CHARGE,
+    SQL_REVENUE,
+    charge,
+    dec,
+    dec_avg,
+    dec_sum,
+    revenue,
+    sql_dec_avg,
+    sql_dec_sum,
+)
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → groupBy → 8 aggregates.
+
+    The flagship query: the exact shape an ``execute_export`` report
+    query would take in the reference (box_export.py:36).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '2000-12-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dec_sum('l_quantity', 'sum_qty')},
+  {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+  CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+  {sql_dec_avg('l_quantity', 'avg_qty')},
+  {sql_dec_avg('l_extendedprice', 'avg_price')},
+  {sql_dec_avg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain counts per group (hash agg w/ distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {sql_dec_sum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice", "total_price"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       {sql_dec_sum('o_totalprice', 'total_price')},
+       COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate: discrete p50/p90 of quantity per flag.
+
+    Implemented as an explicit ``row_number`` pick (value at position
+    ``ceil(q * n)`` in a totally-ordered partition) so Spark and the
+    oracle share one definition — engine-native interpolating
+    percentiles differ in formula across engines.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("pos") == F.ceil(F.col("n") * 0.5), F.col("l_quantity"))
+        ).alias("p50_qty"),
+        F.max(
+            F.when(F.col("pos") == F.ceil(F.col("n") * 0.9), F.col("l_quantity"))
+        ).alias("p90_qty"),
+    )
+
+
+AGG_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS pos,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN pos = CEIL(n * 0.5) THEN l_quantity END) AS p50_qty,
+       MAX(CASE WHEN pos = CEIL(n * 0.9) THEN l_quantity END) AS p90_qty
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join, agg, ORDER BY + LIMIT (top-k).
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles once on
+    the order key. Sort+limit plans as TakeOrderedAndProject.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '2000-07-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP_NTZ '2000-07-01 00:00:00'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '2000-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact ⋈ broadcast dim chain → agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+REVENUE_BY_NATION_SQL = f"""
+SELECT n_name, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null handling: per-customer order stats,
+    customers with zero orders kept (coalesced to 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+         AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI join (EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITH_URGENT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def supplier_balance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join: supplier pairs where s1 out-balances s2,
+    aggregated per nation of the richer supplier.
+
+    Broadcast nested-loop on a deliberately small relation; a large
+    theta join would instead be range-bucketed (see operators.events
+    sessionization for the banded pattern).
+    """
+    s1 = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_acctbal").alias("bal1"),
+        F.col("s_nationkey").alias("nat1"),
+    )
+    s2 = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k2"), F.col("s_acctbal").alias("bal2")
+    )
+    return (
+        s1.join(F.broadcast(s2), F.col("bal1") > F.col("bal2"))
+        .groupBy("nat1")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec(F.col("bal1")) - dec(F.col("bal2")))
+            .cast("double")
+            .alias("total_gap"),
+        )
+        .withColumnRenamed("nat1", "nationkey")
+    )
+
+
+SUPPLIER_BALANCE_PAIRS_SQL = """
+SELECT s1.s_nationkey AS nationkey,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(s1.s_acctbal AS DECIMAL(12,2))
+                - CAST(s2.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_gap
+FROM supplier s1 JOIN supplier s2 ON s1.s_acctbal > s2.s_acctbal
+GROUP BY s1.s_nationkey
+"""
+
+
+def region_nation_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join of the two smallest dims (bounded cardinality)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+REGION_NATION_CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per partition; top-5 per order status (ties kept
+    by ``rank`` so the result set is deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 5)
+    )
+
+
+WINDOW_RANK_ORDERS_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+           AS price_rank,
+         DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+           AS price_dense_rank
+  FROM orders
+) WHERE price_rank <= 5
+"""
+
+
+def window_lag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a totally-ordered per-customer sequence: gap in
+    days between consecutive orders."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+WINDOW_LAG_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_orderkey) OVER w AS prev_orderkey,
+       DATE_DIFF('day',
+                 LAG(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       LEAD(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame spec: running total of spend per customer (rows between
+    unbounded preceding and current row, totally ordered)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spent"),
+    )
+
+
+WINDOW_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spent
+FROM orders
+"""
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (row_number ≤ 3 with total tiebreak) — the
+    window-shaped generalization of the reference's latest-file top-1
+    (box_ingest.py:44-50)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+TOPK_ORDERS_PER_CUSTOMER_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+def _custkeys_by_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+def set_union_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of 1995- and 1996-active customer keys."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.union(b).distinct()
+
+
+SET_UNION_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+UNION
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+"""
+
+
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both years."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.intersect(b)
+
+
+SET_INTERSECT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+"""
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1995 but not 1996."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.subtract(b)
+
+
+SET_EXCEPT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → TakeOrderedAndProject (no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function showcases (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library parity: upper/substr/length/concat/replace/
+    split_part/instr/like over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_brand").alias("brand_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr(F.col("p_type"), "BRASS").alias("brass_pos"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.trim(F.lower("p_name")).alias("name_norm"),
+    )
+
+
+SCALAR_STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_brand) AS brand_len,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+       SPLIT_PART(p_type, ' ', 1) AS type_first_word,
+       STRPOS(p_type, 'BRASS') AS brass_pos,
+       (p_name LIKE '%green%') AS is_green,
+       TRIM(LOWER(p_name)) AS name_norm
+FROM part
+"""
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time library parity: extract/trunc/add/diff over orders."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # DATE columns render inconsistently across engines' pandas
+        # bridges; emit timestamps for stable cross-engine comparison.
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+SCALAR_DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS order_year,
+       MONTH(o_orderdate) AS order_month,
+       DAY(o_orderdate) AS order_day,
+       QUARTER(o_orderdate) AS order_quarter,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+FROM orders
+"""
+
+
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + null-handling funcs, then re-aggregated."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(
+            bucket.alias("price_bucket"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        )
+        .groupBy("price_bucket", "status_or_null")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SCALAR_CONDITIONAL_FUNCS_SQL = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       NULLIF(o_orderstatus, 'P') AS status_or_null,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events ``props`` payload column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_value").alias("k_sum"),
+            F.max("k_value").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SCALAR_JSON_EVENTS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
+              "TPC-H Q1-shaped scan→filter→groupBy→multi-agg", ("agg", "flagship")),
+    QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL,
+              "COUNT DISTINCT per group", ("agg",)),
+    QuerySpec("agg_rollup", agg_rollup, AGG_ROLLUP_SQL, "ROLLUP grouping sets", ("agg",)),
+    QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL, "CUBE grouping sets", ("agg",)),
+    QuerySpec("agg_quantiles", agg_quantiles, AGG_QUANTILES_SQL,
+              "discrete percentiles via window position", ("agg", "window")),
+    QuerySpec("top_revenue_orders", top_revenue_orders, TOP_REVENUE_ORDERS_SQL,
+              "3-way join + agg + top-k (TPC-H Q3 shape)", ("join", "flagship")),
+    QuerySpec("revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL,
+              "star join over broadcast dim chain (TPC-H Q5 shape)", ("join", "flagship")),
+    QuerySpec("customer_order_stats", customer_order_stats, CUSTOMER_ORDER_STATS_SQL,
+              "left outer join + coalesce", ("join",)),
+    QuerySpec("customers_without_orders", customers_without_orders,
+              CUSTOMERS_WITHOUT_ORDERS_SQL, "anti join (NOT EXISTS)", ("join",)),
+    QuerySpec("customers_with_urgent_orders", customers_with_urgent_orders,
+              CUSTOMERS_WITH_URGENT_ORDERS_SQL, "semi join (EXISTS)", ("join",)),
+    QuerySpec("supplier_balance_pairs", supplier_balance_pairs,
+              SUPPLIER_BALANCE_PAIRS_SQL, "theta/non-equi join", ("join",)),
+    QuerySpec("region_nation_cross", region_nation_cross, REGION_NATION_CROSS_SQL,
+              "cross join", ("join",)),
+    QuerySpec("window_rank_orders", window_rank_orders, WINDOW_RANK_ORDERS_SQL,
+              "rank/dense_rank", ("window",)),
+    QuerySpec("window_lag_orders", window_lag_orders, WINDOW_LAG_ORDERS_SQL,
+              "lag/lead", ("window",)),
+    QuerySpec("window_running_total", window_running_total, WINDOW_RUNNING_TOTAL_SQL,
+              "cumulative frame", ("window",)),
+    QuerySpec("topk_orders_per_customer", topk_orders_per_customer,
+              TOPK_ORDERS_PER_CUSTOMER_SQL, "per-group top-k", ("window",)),
+    QuerySpec("set_union_customers", set_union_customers, SET_UNION_CUSTOMERS_SQL,
+              "UNION distinct", ("setop",)),
+    QuerySpec("set_intersect_customers", set_intersect_customers,
+              SET_INTERSECT_CUSTOMERS_SQL, "INTERSECT", ("setop",)),
+    QuerySpec("set_except_customers", set_except_customers, SET_EXCEPT_CUSTOMERS_SQL,
+              "EXCEPT", ("setop",)),
+    QuerySpec("top_orders", top_orders, TOP_ORDERS_SQL,
+              "global sort + limit (TakeOrderedAndProject)", ("sort",)),
+    QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_FUNCS_SQL,
+              "string function library", ("scalar",)),
+    QuerySpec("scalar_date_funcs", scalar_date_funcs, SCALAR_DATE_FUNCS_SQL,
+              "date function library", ("scalar",)),
+    QuerySpec("scalar_conditional_funcs", scalar_conditional_funcs,
+              SCALAR_CONDITIONAL_FUNCS_SQL, "CASE WHEN / NULLIF", ("scalar",)),
+    QuerySpec("scalar_json_events", scalar_json_events, SCALAR_JSON_EVENTS_SQL,
+              "JSON extraction", ("scalar",)),
+]
