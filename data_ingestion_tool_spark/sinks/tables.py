@@ -1,0 +1,171 @@
+"""Managed-table sinks: main table, error/quarantine table, audit log.
+
+Reference behavior preserved (SURVEY.md §2.2):
+
+- appends carry ``process_dt = from_utc_timestamp(current_timestamp(),
+  'Asia/Shanghai')`` — ingestion timestamps are China-local wall-clock
+  (box_ingest.py:126, :167)
+- rejected rows land in a sibling ``<table>_error`` table with columns
+  (record, error_type, process_dt) (box_ingest.py:115-125)
+- an audit table records (task_owner, job_action, log_info, process_dt)
+  (box_ingest.py:13-20)
+
+Deliberate changes, each a scale or correctness fix:
+
+- **Format fallback**: Delta when delta-spark is importable, else
+  parquet ``saveAsTable`` — same catalog surface either way.
+- **One commit per table per run**: callers union their batch before
+  writing; the reference commits once per file (box_ingest.py:127),
+  which at 100 TB means millions of tiny commits + small files.
+- **No f-string SQL**: the reference interpolates log values into an
+  INSERT (box_ingest.py:14-18) and breaks on a quote (SQL injection);
+  log rows here travel as DataFrame literals, and the AuditLog buffers
+  so a run is one log commit, not 3-6 per file.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROCESS_TZ = "Asia/Shanghai"
+
+
+def _table_format() -> str:
+    try:
+        import delta  # type: ignore  # noqa: F401
+
+        return "delta"
+    except ImportError:
+        return "parquet"
+
+
+TABLE_FORMAT = _table_format()
+
+
+def process_dt_col() -> F.Column:
+    return F.from_utc_timestamp(F.current_timestamp(), PROCESS_TZ)
+
+
+def qualified(table_name: str, catalog: str | None, schema: str | None) -> str:
+    parts = [p for p in (catalog, schema, table_name) if p]
+    return ".".join(parts)
+
+
+def append_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    catalog: str | None = None,
+    schema: str | None = None,
+    add_process_dt: bool = True,
+) -> None:
+    """Single-transaction append (one call per table per run)."""
+    if add_process_dt:
+        df = df.withColumn("process_dt", process_dt_col())
+    df.write.format(TABLE_FORMAT).mode("append").saveAsTable(
+        qualified(table_name, catalog, schema)
+    )
+
+
+def write_split(
+    valid: DataFrame,
+    invalid: DataFrame,
+    table_name: str,
+    *,
+    catalog: str | None = None,
+    schema: str | None = None,
+) -> tuple[int, int]:
+    """Write a validation split: valid → table, invalid → table_error.
+
+    Counts both sides (for the completion log, reference
+    box_ingest.py:176) while writing each side once.
+    """
+    valid = valid.persist()
+    invalid = invalid.persist()
+    try:
+        n_valid = valid.count()
+        n_invalid = invalid.count()
+        if n_valid:
+            append_table(valid, table_name, catalog=catalog, schema=schema)
+        if n_invalid:
+            append_table(
+                invalid, f"{table_name}_error", catalog=catalog, schema=schema
+            )
+        return n_valid, n_invalid
+    finally:
+        valid.unpersist()
+        invalid.unpersist()
+
+
+def append_just_copy(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    *,
+    catalog: str | None = None,
+    schema: str | None = None,
+) -> None:
+    """The reference's ``just_copy`` mode (box_ingest.py:161-170):
+    stringify every cell, impose the existing target schema minus
+    ``process_dt``, append with a fresh ``process_dt``."""
+    target = qualified(table_name, catalog, schema)
+    target_schema = spark.table(target).schema
+    fields = [f for f in target_schema.fields if f.name != "process_dt"]
+    stringified = df.select(
+        [F.col(c).cast("string").alias(c) for c in df.columns]
+    )
+    projected = stringified.select(
+        [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+    )
+    append_table(projected, table_name, catalog=catalog, schema=schema)
+
+
+AUDIT_TABLE = "box_ingestion_log"
+_AUDIT_SCHEMA = "task_owner string, job_action string, log_info string"
+
+
+@dataclass
+class AuditLog:
+    """Buffered, injection-safe audit logger.
+
+    ``log()`` is cheap (appends to a list + stdlib logging); ``flush()``
+    writes the whole run's rows in ONE table commit. The reference
+    issues a parse→plan→Delta-commit per log line via interpolated SQL
+    (box_ingest.py:13-20).
+    """
+
+    owner: str
+    catalog: str | None = None
+    schema: str | None = None
+    table_name: str = AUDIT_TABLE
+    rows: list[tuple[str, str, str]] = field(default_factory=list)
+
+    def log(self, action: str, info: str) -> None:
+        self.rows.append((self.owner, action, str(info)))
+        import logging
+
+        logging.getLogger(__name__).info(
+            "Owner: %s, Action: %s, File Info: %s", self.owner, action, info
+        )
+
+    def flush(self, spark: SparkSession) -> int:
+        if not self.rows:
+            return 0
+        df = spark.createDataFrame(self.rows, _AUDIT_SCHEMA)
+        append_table(
+            df, self.table_name, catalog=self.catalog, schema=self.schema
+        )
+        n = len(self.rows)
+        self.rows.clear()
+        return n
+
+
+def utcnow() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc)

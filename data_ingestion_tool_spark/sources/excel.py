@@ -1,0 +1,87 @@
+"""Excel (.xlsx/.xlsm) source.
+
+Spark has no native Excel reader (reference reads via pandas on the
+driver — box_ingest.py:152-156). Two paths, both behind one function:
+
+- **Distributed** (default): ship the workbook bytes through the
+  ``binaryFile`` source and parse inside ``mapInPandas`` on executors —
+  per-file parallelism for directories of workbooks, no driver
+  bottleneck.
+- **Driver fallback** (``distributed=False``): plain
+  ``pd.read_excel`` → ``createDataFrame`` for the single-small-file
+  case.
+
+Both require an Excel engine (openpyxl). This container ships none, so
+parsing raises :class:`ExcelEngineMissing` with guidance; all Spark
+plumbing (schema handling, Arrow batching, sheet/skiprows options) is
+real and unit-tested via a monkeypatched parser.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ExcelEngineMissing(NotImplementedError):
+    pass
+
+
+def _parse_workbook(
+    content: bytes, sheet_name: str | None, skip_rows: int | None
+) -> pd.DataFrame:
+    """Parse workbook bytes → pandas (reference parity: optional sheet,
+    optional skiprows — box_ingest.py:152-156)."""
+    import io
+
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise ExcelEngineMissing(
+            "reading .xlsx/.xlsm requires the 'openpyxl' package, which "
+            "is not installed in this environment"
+        ) from exc
+    kwargs: dict = {"skiprows": skip_rows}
+    if sheet_name:
+        kwargs["sheet_name"] = sheet_name
+    return pd.read_excel(io.BytesIO(content), **kwargs)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | None = None,
+    skip_rows: int | None = None,
+    *,
+    distributed: bool = True,
+    parser=_parse_workbook,
+) -> DataFrame:
+    """Read one workbook (or a glob of workbooks) as a DataFrame.
+
+    ``parser`` is injectable for tests and for alternative engines.
+    """
+    if not distributed:
+        pdf = parser(open(path, "rb").read(), sheet_name, skip_rows)
+        pdf.columns = [str(c).strip() for c in pdf.columns]
+        return spark.createDataFrame(pdf)
+
+    # Schema must be known up front for mapInPandas: parse one
+    # workbook's header on the driver (bytes-bounded), then fan out.
+    binary = spark.read.format("binaryFile").load(path)
+    first = binary.select("content").limit(1).collect()
+    if not first:
+        raise FileNotFoundError(path)
+    sample = parser(first[0]["content"], sheet_name, skip_rows)
+    sample.columns = [str(c).strip() for c in sample.columns]
+    schema = spark.createDataFrame(sample.head(100)).schema
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                out = parser(row["content"], sheet_name, skip_rows)
+                out.columns = [str(c).strip() for c in out.columns]
+                yield out
+
+    return binary.select("content").mapInPandas(parse_batches, schema)

@@ -1,0 +1,227 @@
+"""End-to-end pipeline tests on a LocalFSConnector (no network),
+covering FIXTURES.md A2-A5: formats, selection, just_copy, audit log,
+export round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zipfile
+
+import pandas as pd
+import pytest
+
+from data_ingestion_tool_spark.pipeline import execute_export, execute_ingest
+from data_ingestion_tool_spark.sinks.tables import AuditLog
+from data_ingestion_tool_spark.sources.connector import (
+    LocalFSConnector,
+    RemoteFile,
+    select_files,
+)
+
+CSV_BODY = "id,name,amount\n1,alpha,10.5\n2,beta,oops\n3,gamma,30.0\n"
+METADATA = {
+    "id": "int",
+    "name": "string",
+    "amount": "float",
+    "non_nullable_fields": ["id"],
+}
+
+
+@pytest.fixture()
+def remote_dir(tmp_path):
+    d = tmp_path / "remote"
+    d.mkdir()
+    return str(d)
+
+
+def test_ingest_csv_validate_mode(spark, remote_dir, tmp_path):
+    (pd.DataFrame({"id": [1, 2, 3]})).to_csv  # noqa: B018 — silence lint
+    with open(os.path.join(remote_dir, "sales_1.csv"), "w") as f:
+        f.write(CSV_BODY)
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "sales_csv",
+        remote_dir,
+        r"sales_.*\.csv",
+        metadata=METADATA,
+        just_copy=False,
+        work_dir=str(tmp_path / "work"),
+    )
+    assert summary["valid_rows"] == 2
+    assert summary["invalid_rows"] == 1
+    main = spark.table("sales_csv")
+    assert set(main.columns) == {"id", "name", "amount", "process_dt"}
+    assert main.count() == 2
+    err = spark.table("sales_csv_error")
+    row = err.collect()[0]
+    assert row["error_type"] == "Type mismatch for column: amount"
+    assert json.loads(row["record"])["name"] == "beta"
+    # audit table exists and is injection-safe by construction
+    log = spark.table("box_ingestion_log")
+    assert log.filter("job_action = 'Ingest completed'").count() >= 1
+
+
+def test_ingest_json_and_zip(spark, remote_dir, tmp_path):
+    data = [{"id": 10, "name": "x", "amount": 1.0}]
+    with open(os.path.join(remote_dir, "part1.json"), "w") as f:
+        json.dump(data, f)
+    # nested zip: zip containing a csv and another zip with a csv
+    inner = tmp_path / "inner.zip"
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("inner.csv", "id,name,amount\n11,y,2.0\n")
+    with zipfile.ZipFile(os.path.join(remote_dir, "part2.zip"), "w") as zf:
+        zf.writestr("outer.csv", "id,name,amount\n12,z,3.0\n")
+        zf.write(inner, "nested.zip")
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "mixed_tbl",
+        remote_dir,
+        r"part.*",
+        metadata=METADATA,
+        just_copy=False,
+        work_dir=str(tmp_path / "work"),
+    )
+    assert summary["valid_rows"] == 3
+    got = {r["id"] for r in spark.table("mixed_tbl").collect()}
+    assert got == {10, 11, 12}
+
+
+def test_ingest_latest_only(spark, remote_dir, tmp_path):
+    p1 = os.path.join(remote_dir, "sales_2026-01.csv")
+    p2 = os.path.join(remote_dir, "sales_2026-02.csv")
+    with open(p1, "w") as f:
+        f.write("id,name,amount\n1,old,1.0\n")
+    time.sleep(0.01)
+    with open(p2, "w") as f:
+        f.write("id,name,amount\n2,new,2.0\n")
+    os.utime(p1, (1000000000, 1000000000))  # force older mtime
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "latest_tbl",
+        remote_dir,
+        r"sales_.*\.csv",
+        metadata=METADATA,
+        just_copy=False,
+        latest=True,
+        work_dir=str(tmp_path / "work"),
+    )
+    assert summary["files"] == 1
+    assert [r["name"] for r in spark.table("latest_tbl").collect()] == ["new"]
+
+
+def test_ingest_just_copy(spark, remote_dir, tmp_path):
+    # pre-create all-string target (FIXTURES A2)
+    spark.createDataFrame(
+        [("0", "seed", "0.0")], "id string, name string, amount string"
+    ).withColumn("process_dt", pd_expr()).write.mode("overwrite").saveAsTable(
+        "copy_tbl"
+    )
+    with open(os.path.join(remote_dir, "c1.csv"), "w") as f:
+        f.write("id,name,amount\n5,copied,9.9\n")
+    execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "copy_tbl",
+        remote_dir,
+        r"c1\.csv",
+        just_copy=True,
+        work_dir=str(tmp_path / "work"),
+    )
+    rows = {r["name"]: r for r in spark.table("copy_tbl").collect()}
+    assert rows["copied"]["amount"] == "9.9"  # stringified cell
+
+
+def pd_expr():
+    from pyspark.sql import functions as F
+
+    return F.from_utc_timestamp(F.current_timestamp(), "Asia/Shanghai")
+
+
+def test_ingest_delete_by_captured_id(spark, remote_dir, tmp_path):
+    keep = os.path.join(remote_dir, "other.csv")
+    with open(os.path.join(remote_dir, "del_1.csv"), "w") as f:
+        f.write("id,name,amount\n1,a,1.0\n")
+    with open(keep, "w") as f:
+        f.write("id,name,amount\n2,b,2.0\n")
+    execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "del_tbl",
+        remote_dir,
+        r"del_.*\.csv",
+        metadata=METADATA,
+        just_copy=False,
+        delete=True,
+        work_dir=str(tmp_path / "work"),
+    )
+    assert sorted(os.listdir(remote_dir)) == ["other.csv"]
+
+
+def test_unsupported_type_skipped(spark, remote_dir, tmp_path):
+    with open(os.path.join(remote_dir, "file.txt"), "w") as f:
+        f.write("not a table")
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "skip_tbl",
+        remote_dir,
+        r"file\.txt",
+        metadata=METADATA,
+        just_copy=False,
+        work_dir=str(tmp_path / "work"),
+    )
+    assert summary["skipped"] == 1
+    assert summary["valid_rows"] == 0
+
+
+def test_audit_log_quote_safe(spark):
+    """FIXTURES A4: an owner containing a quote must not break logging
+    (the reference's f-string SQL does — box_ingest.py:14-18)."""
+    audit = AuditLog("o'brien; DROP TABLE x--")
+    audit.log("Test action", "info with 'quotes' and \"doubles\"")
+    assert audit.flush(spark) == 1
+    row = (
+        spark.table("box_ingestion_log")
+        .filter("job_action = 'Test action'")
+        .collect()[0]
+    )
+    assert row["task_owner"] == "o'brien; DROP TABLE x--"
+
+
+def test_export_csv_fallback_roundtrip(spark, remote_dir, tmp_path):
+    spark.createDataFrame(
+        [(1, "F"), (2, "O")], "k int, l_returnflag string"
+    ).createOrReplaceTempView("export_src")
+    n = execute_export(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "SELECT k, l_returnflag FROM export_src",
+        remote_dir,
+        "out.xlsx",
+        column_mapping={"L_RETURNFLAG": "Return Flag"},
+        allow_csv_fallback=True,
+    )
+    assert n == 2
+    out = pd.read_csv(os.path.join(remote_dir, "out.xlsx"))
+    assert list(out.columns) == ["k", "Return Flag"]
+
+
+def test_select_files_regex_anchored():
+    files = [
+        RemoteFile("1", "sales_a.csv", "2026-01-01"),
+        RemoteFile("2", "xsales_a.csv", "2026-01-02"),
+    ]
+    # re.match anchors at start: 'sales_.*' must NOT match 'xsales_a.csv'
+    assert [f.id for f in select_files(files, r"sales_.*\.csv")] == ["1"]

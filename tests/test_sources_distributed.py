@@ -1,0 +1,59 @@
+"""Distributed source plumbing: binaryFile-based ZIP member explosion
+and mapInPandas Excel reading (engine injected — no openpyxl here)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pandas as pd
+import pytest
+
+from data_ingestion_tool_spark.sources.archive import binary_members
+from data_ingestion_tool_spark.sources.excel import ExcelEngineMissing, read_excel
+
+
+def test_binary_members_explodes_zip(spark, tmp_path):
+    for i in range(3):
+        with zipfile.ZipFile(tmp_path / f"a{i}.zip", "w") as zf:
+            zf.writestr(f"m{i}_1.csv", f"id\n{i}\n")
+            zf.writestr(f"m{i}_2.csv", f"id\n{i + 10}\n")
+    df = binary_members(spark, str(tmp_path / "*.zip"))
+    rows = df.collect()
+    assert len(rows) == 6
+    members = {r["member"] for r in rows}
+    assert "m0_1.csv" in members and "m2_2.csv" in members
+    one = [r for r in rows if r["member"] == "m1_1.csv"][0]
+    assert bytes(one["content"]) == b"id\n1\n"
+    assert one["member_size"] == 5
+
+
+def _fake_parser(content: bytes, sheet_name, skip_rows):
+    """Deterministic stand-in for openpyxl: content is a CSV payload."""
+    pdf = pd.read_csv(io.BytesIO(content), skiprows=skip_rows or 0)
+    if sheet_name == "empty":
+        return pdf.head(0)
+    return pdf
+
+
+def test_read_excel_distributed_with_injected_engine(spark, tmp_path):
+    p = tmp_path / "wb.xlsx"
+    p.write_text("junk\n  Col A ,col_b\n1,x\n2,y\n")
+    df = read_excel(spark, str(p), skip_rows=1, parser=_fake_parser)
+    rows = sorted(df.collect(), key=lambda r: r[0])
+    assert df.columns == ["Col A", "col_b"]  # header stripped
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_read_excel_driver_fallback(spark, tmp_path):
+    p = tmp_path / "wb2.xlsx"
+    p.write_text("a,b\n5,z\n")
+    df = read_excel(spark, str(p), distributed=False, parser=_fake_parser)
+    assert [tuple(r) for r in df.collect()] == [(5, "z")]
+
+
+def test_missing_engine_raises_helpfully(spark, tmp_path):
+    p = tmp_path / "real.xlsx"
+    p.write_bytes(b"PK\x03\x04 not really a workbook")
+    with pytest.raises(ExcelEngineMissing, match="openpyxl"):
+        read_excel(spark, str(p))
