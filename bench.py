@@ -31,6 +31,15 @@ HEADLINE = [
     "topk_orders_per_customer",
     "set_intersect_customers",
     "scalar_json_events",
+    "tumbling_hourly",
+    "session_windows",
+    "text_quality",
+    "token_counts",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "embedding_near_dup",
 ]
 
 

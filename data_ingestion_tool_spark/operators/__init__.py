@@ -2,10 +2,16 @@
 
 from __future__ import annotations
 
-from data_ingestion_tool_spark.operators import relational
+from data_ingestion_tool_spark.operators import (
+    dedup,
+    events,
+    relational,
+    similarity,
+    text,
+)
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational]
+_MODULES = [relational, events, text, dedup, similarity]
 
 
 def registry() -> dict[str, QuerySpec]:

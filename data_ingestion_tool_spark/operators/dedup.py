@@ -1,0 +1,357 @@
+"""Deduplication operators (EXT tier, SURVEY.md §2.11): exact,
+n-gram-Jaccard, MinHash-LSH, and SimHash near-dup detection over
+``documents``, plus keyed exact dedup over ``events``.
+
+Scale design:
+
+- **Exact** dedup is a hash aggregation on a fingerprint — one shuffle
+  on md5(text), no text comparison.
+- **N-gram Jaccard** avoids the O(n²) pair space by the inverted-index
+  pattern: explode distinct shingles → self-join on shingle → count
+  intersections → filter. Only documents sharing ≥1 shingle ever meet.
+  At 100 TB add a document-frequency cap on shingles (drop shingles
+  appearing in >K docs) to bound the hottest join keys — noted inline.
+- **MinHash-LSH** replaces the shingle join with a banded signature
+  join: K=32 min-hashes, 8 bands × 4 rows (LSH threshold ≈
+  (1/8)^(1/4) ≈ 0.59, matched to the 0.6 verify threshold). Candidates
+  are verified with exact Jaccard, so precision is exact and only
+  recall depends on banding.
+- **SimHash** computes a 64-bit signature in a vectorized Arrow batch
+  (numpy), then pairs via 8-bit band blocking (8 bands guarantee a
+  collision for Hamming distance ≤ 7) and verifies with
+  ``bit_count(xor)`` JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.6
+MINHASH_K = 32
+MINHASH_BANDS = 8  # rows per band = MINHASH_K // MINHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: canonical = min doc_id; one
+    hash-agg shuffle on the fingerprint."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed exact dedup with a deterministic keep rule: earliest event
+    per (user_id, event_type) — the `dropDuplicates` semantics made
+    reproducible via a total order."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id", "event_type", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+DEDUP_FIRST_EVENT_SQL = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array<string>) — distinct word n-grams."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_toks = df.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    # Spark SQL array subscripts are 0-based.
+    gram = " , ".join(f"toks[i+{j}]" for j in range(n))
+    return with_toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {gram}))"
+            )
+        ).alias("shingles"),
+    )
+
+
+def _jaccard_pairs_from_candidates(
+    candidates: DataFrame, sets_a: DataFrame, sets_b: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs."""
+    joined = (
+        candidates.join(
+            sets_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.6, via the
+    inverted-index join (no O(n²) pair enumeration)."""
+    sets = shingle_sets(_docs(spark, sf_dir))
+    # Join on a 64-bit shingle hash, not the string: lighter shuffle
+    # rows; intersection counts unchanged up to xxhash64 collisions
+    # (~shingles²/2⁶⁴ per pair — negligible).
+    # 100 TB note: insert here a document-frequency cap (drop shingles
+    # appearing in > K docs) to bound the hottest join keys before the
+    # self-join; pairs lost that way share only stop-shingles and
+    # cannot reach 0.6 Jaccard.
+    posting = sets.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
+            "shingle"
+        ),
+    )
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    with_sizes = (
+        candidates.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        with_sizes.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K min-hash values per document, one shuffle: explode shingles →
+    groupBy doc → K min-aggregates of seeded xxhash64."""
+    posting = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return posting.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verify.
+
+    Same output contract as dedup_ngram_jaccard; the banded join scales
+    to corpora where even the shingle inverted index is too hot.
+    Non-SQL-expressible (engine-specific hashes) → rows-only check +
+    recall property-tested against the exact operator (tests).
+    """
+    sets = shingle_sets(_docs(spark, sf_dir))
+    sigs = minhash_signatures(sets)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = [
+        F.hash(
+            *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stack_expr = ", ".join(
+        f"{b}, band{b}" for b in range(MINHASH_BANDS)
+    )
+    long_form = banded.selectExpr(
+        "doc_id",
+        f"stack({MINHASH_BANDS}, {stack_expr}) AS (band_idx, band_hash)",
+    )
+    a = long_form.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = long_form.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs_from_candidates(candidates, sets, sets)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_column() -> F.Column:
+    """64-bit SimHash of the token set, vectorized via Arrow."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tokens = set(str(t).strip().split())
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
+                    )
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += bits * 2 - 1
+            sig = np.uint64(0)
+            for b in np.nonzero(acc > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash(F.col("text"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ 6: 8-bit band
+    blocking (8 bands ⇒ guaranteed collision for distance ≤ 7), then
+    JVM-side ``bit_count(xor)`` verification."""
+    d = _docs(spark, sf_dir).select("doc_id", simhash_column().alias("sim"))
+    bands = [
+        F.shiftrightunsigned(F.col("sim"), 8 * b)
+        .bitwiseAND(F.lit(255))
+        .alias(f"band{b}")
+        for b in range(8)
+    ]
+    banded = d.select("doc_id", "sim", *bands)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(8))
+    long_form = banded.selectExpr(
+        "doc_id", "sim", f"stack(8, {stack_expr}) AS (band_idx, band_val)"
+    )
+    a = long_form.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = long_form.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    candidates = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_DOCS_SQL,
+              "exact dedup via content fingerprint", ("dedup",)),
+    QuerySpec("dedup_first_event", dedup_first_event, DEDUP_FIRST_EVENT_SQL,
+              "keyed exact dedup, deterministic keep rule", ("dedup",)),
+    QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,
+              "near-dup pairs via 3-gram Jaccard inverted index", ("dedup",)),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None,
+              "near-dup pairs via MinHash banding + exact verify", ("dedup",)),
+    QuerySpec("dedup_simhash", dedup_simhash, None,
+              "near-dup pairs via SimHash band blocking", ("dedup",)),
+]

@@ -1,0 +1,147 @@
+"""Event-time operators over the ``events`` table: tumbling / sliding /
+session windows (batch form of the streaming tier, SURVEY.md §2.10).
+
+``F.window`` / ``F.session_window`` are plain Catalyst expressions:
+the same code runs under Structured Streaming with a watermark (see
+``data_ingestion_tool_spark.streaming``). Windowed aggregation shuffles
+once on (window, keys); at scale the skew concern is hot keys
+(user_id), which AQE skew-join/partition-split handles.
+
+Cross-engine notes: window starts are emitted as ``timestamp_ntz``
+(session tz is UTC, DuckDB is tz-naive); session boundaries use the
+half-open convention — a gap of exactly the timeout starts a NEW
+session (Spark's ``session_window`` end is ``last_ts + gap``,
+exclusive), mirrored in the oracle as ``>= gap``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.functions import dec_sum, sql_dec_sum
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_HOURLY_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour size, 30-minute hop (2 windows/event)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# A 60-minute window with a 30-minute hop assigns each event to exactly
+# the two hop-aligned starts {trunc30(ts), trunc30(ts) - 30min}.
+SLIDING_HOURLY_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM assigned GROUP BY window_start
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 10-minute inactivity gap."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_WINDOWS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 'total_value')}
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter→agg→top-k over the event stream (pushdown showcase)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dec_sum("value", "total_spent"), F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.desc("total_spent"), "user_id")
+        .limit(25)
+    )
+
+
+TOP_PURCHASERS_SQL = f"""
+SELECT user_id, {sql_dec_sum('value', 'total_spent')},
+       COUNT(*) AS n_purchases
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY total_spent DESC, user_id LIMIT 25
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("tumbling_hourly", tumbling_hourly, TUMBLING_HOURLY_SQL,
+              "tumbling 1h event-time windows", ("events", "window")),
+    QuerySpec("sliding_hourly", sliding_hourly, SLIDING_HOURLY_SQL,
+              "sliding 1h/30min event-time windows", ("events", "window")),
+    QuerySpec("session_windows", session_windows, SESSION_WINDOWS_SQL,
+              "per-user session windows, 10min gap", ("events", "window")),
+    QuerySpec("top_purchasers", top_purchasers, TOP_PURCHASERS_SQL,
+              "filter + agg + top-k over events", ("events",)),
+]

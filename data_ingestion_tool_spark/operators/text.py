@@ -1,0 +1,238 @@
+"""Text-analysis operators over ``documents`` (EXT tier, SURVEY.md
+§2.11): token statistics, quality scoring, language-ID, token counting,
+fingerprinting — the per-document stages of an LLM training-data
+pipeline.
+
+All operators are pure Column expressions (no Python in the hot path):
+at 100 TB these run inside whole-stage codegen, partition-parallel,
+with the text column pruned at the parquet scan when untouched.
+Cross-engine parity: integer counts + one final double division, which
+is IEEE-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tokens():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (whitespace tokenization)."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(_tokens())
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace("text", r"\s", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_measured"),
+        ((n_chars - n_spaces).cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       CAST(length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g')))
+            AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS avg_token_len
+FROM documents
+"""
+
+
+#: Tiny stopword inventory for quality scoring — deliberately fixed so
+#: the oracle can restate it.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio, alphabetic ratio, mean
+    token length — the classic cheap quality filters (C4-style),
+    combined into one score with a keep/drop flag."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+    )
+    n_chars = F.length("text")
+    alpha_chars = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    alpha_ratio = alpha_chars.cast("double") / n_chars
+    score = stop_ratio * 0.5 + alpha_ratio * 0.5
+    return d.select(
+        "doc_id",
+        stop_hits.alias("stopword_hits"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.45).alias("keep"),
+    )
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+TEXT_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS stopword_hits,
+         CAST(len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS DOUBLE)
+           / len(toks) AS stopword_ratio,
+         CAST(alpha_chars AS DOUBLE) / n_chars AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, stopword_hits, stopword_ratio, alpha_ratio,
+       stopword_ratio * 0.5 + alpha_ratio * 0.5 AS quality_score,
+       (stopword_ratio * 0.5 + alpha_ratio * 0.5) >= 0.45 AS keep
+FROM scored
+"""
+
+
+#: Marker words per language for the n-gram/stopword language-ID
+#: heuristic. Scoring is deterministic; ties resolve in this order.
+_LANG_MARKERS = {
+    "en": ("the", "a", "is", "and"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "una", "que"),
+    "fr": ("le", "les", "une", "est"),
+    "zh": ("的", "是", "不", "了"),
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID: score = marker-token hits per
+    language; prediction = argmax with fixed tie order. (On this
+    synthetic corpus every language shares one vocabulary, so the
+    predictions skew 'en' — the operator contract is the scoring.)"""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+
+    def marker_hits(markers: tuple) -> F.Column:
+        # one-arg lambda: higher-order functions pass a Column per
+        # declared parameter, so extra params must come via closure
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {
+        lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()
+    }
+    # argmax with first-wins tie order en > de > es > fr > zh
+    langs = list(_LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        best.alias("predicted_lang"),
+        (best == F.col("lang")).alias("correct"),
+    )
+
+
+def _lang_sql() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({mlist}))) AS score_{lang}"
+        )
+    langs = list(_LANG_MARKERS)
+    # same first-wins argmax, unrolled
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = (
+            f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+        )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM base
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+       {pred} AS predicted_lang,
+       ({pred} = lang) AS correct
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_sql()
+
+#: BPE-ish pre-tokenizer: words | digits | single punctuation marks.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document, plus the
+    corpus total — the 'how many training tokens is this' operator."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).alias("bpe_tokens"),
+    )
+
+
+TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text) —
+    the join key for exact dedup across shards/snapshots."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       length(text) AS n_chars_measured
+FROM documents
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("text_stats", text_stats, TEXT_STATS_SQL,
+              "per-doc token/char statistics", ("text",)),
+    QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL,
+              "heuristic quality score + keep flag", ("text",)),
+    QuerySpec("lang_id", lang_id, LANG_ID_SQL,
+              "marker-based language identification", ("text",)),
+    QuerySpec("token_counts", token_counts, TOKEN_COUNTS_SQL,
+              "whitespace + BPE-ish token counting", ("text",)),
+    QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
+              "md5 content fingerprint", ("text",)),
+]

@@ -1,0 +1,65 @@
+"""Self-consistency checks for the non-SQL-expressible EXT operators:
+LSH variants are measured against their exact counterparts (the oracle
+DuckDB can't express engine-specific hashes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_tool_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from data_ingestion_tool_spark.operators.similarity import (
+    TOP_K,
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _pairs(dedup_ngram_jaccard(spark, SF_CORRECT))
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, exact_pairs):
+    """Banded MinHash + exact verify: precision is exact by
+    construction; recall vs the exact operator must be high (banding
+    at threshold 0.59 vs verify threshold 0.6)."""
+    lsh_pairs = _pairs(dedup_minhash_lsh(spark, SF_CORRECT))
+    assert lsh_pairs <= exact_pairs  # verify step ⇒ no false positives
+    assert exact_pairs, "exact operator found no near-dup pairs at sf0.01"
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
+
+
+def test_simhash_finds_planted_near_dups(spark, exact_pairs):
+    """SimHash (Hamming ≤ 6) must rediscover most of the high-Jaccard
+    planted near-dups; its pairs must themselves be near-dups mostly."""
+    sim_pairs = _pairs(dedup_simhash(spark, SF_CORRECT))
+    assert sim_pairs, "simhash found nothing"
+    overlap = len(sim_pairs & exact_pairs)
+    assert overlap / len(exact_pairs) >= 0.5
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = ann_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = ann_lsh_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 bands × 4 bits on 64-dim random vectors: modest but real recall;
+    # regression floor, not a quality target.
+    assert recall >= 0.3, f"LSH top-k recall {recall:.2f}"
+    # every query answered with k results
+    per_query = {}
+    for r in approx:
+        per_query.setdefault(r["query_id"], 0)
+        per_query[r["query_id"]] += 1
+    assert all(v <= TOP_K for v in per_query.values())
