@@ -5,13 +5,14 @@ from __future__ import annotations
 from data_ingestion_tool_spark.operators import (
     dedup,
     events,
+    multimodal,
     relational,
     similarity,
     text,
 )
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational, events, text, dedup, similarity]
+_MODULES = [relational, events, text, dedup, similarity, multimodal]
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -1,0 +1,116 @@
+"""Streaming sources, stateful transforms, and sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from data_ingestion_tool_spark.functions import dec_sum
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_from_directory(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | str = EVENTS_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batch
+    input. Streaming requires an explicit schema (no inference)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows per event type with a watermark —
+    the streaming twin of operators.events.tumbling_hourly. The
+    watermark bounds state: windows older than (max event time -
+    watermark) finalize and evict."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts_stream(
+    events: DataFrame,
+    *,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming session windows — same ``session_window`` expression
+    as the batch operator, plus the state-bounding watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def write_stream_append(
+    df: DataFrame,
+    *,
+    checkpoint_dir: str,
+    table_name: str | None = None,
+    memory_name: str | None = None,
+    available_now: bool = True,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Run a stream into a managed table (via foreachBatch → the
+    engine's batched sink) or a named in-memory sink for tests.
+
+    ``available_now`` processes everything pending then stops —
+    the batch-backfill trigger.
+    """
+    writer = df.writeStream.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    writer = writer.outputMode(output_mode)
+    if memory_name:
+        return writer.format("memory").queryName(memory_name).start()
+    if table_name is None:
+        raise ValueError("need table_name or memory_name")
+
+    from data_ingestion_tool_spark.sinks.tables import append_table
+
+    # foreachBatch runs in a cloned session; the caller's session caches
+    # the table's file listing on first read and won't see the clone's
+    # appends (parquet tables need REFRESH TABLE after an external
+    # write). Capture the defining session and refresh it per batch.
+    defining_session = df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_table(batch_df, table_name, add_process_dt=True)
+        defining_session.catalog.refreshTable(table_name)
+
+    return writer.foreachBatch(sink).start()

@@ -1,0 +1,108 @@
+"""Structured Streaming tests: file source → watermark windowed agg →
+sink, with availableNow (bounded) triggers; late-data eviction
+semantics; streaming/batch result equivalence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from data_ingestion_tool_spark.streaming import (
+    sessionized_counts_stream,
+    stream_events_from_directory,
+    windowed_counts_stream,
+    write_stream_append,
+)
+
+
+def _write_events(dirpath, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    p = dirpath / f"batch_{len(list(dirpath.iterdir()))}.json"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1,
+     "event_type": "click", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 1,
+     "event_type": "click", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01 11:05:00", "user_id": 2,
+     "event_type": "view", "value": 3.0, "props": "{}"},
+]
+
+#: Far-future event that pushes the watermark past every window the
+#: tests assert on. In append mode a windowed agg only EMITS a window
+#: once watermark > window end — without this, availableNow finishes
+#: with the asserted windows still open and the sink empty.
+SENTINEL = {"event_id": 99, "ts": "2024-01-01 23:59:00", "user_id": 99,
+            "event_type": "sentinel", "value": 0.0, "props": "{}"}
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    _write_events(src, EVENTS + [SENTINEL])
+    stream = stream_events_from_directory(spark, str(src))
+    assert stream.isStreaming
+    agg = windowed_counts_stream(stream, window="1 hour", watermark="2 hours")
+    q = write_stream_append(
+        agg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        memory_name="win_counts",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert out[("2024-01-01 10:00:00", "click")] == 2
+    assert out[("2024-01-01 11:00:00", "view")] == 1
+    # the sentinel's own window (23:00) is still open at stream end —
+    # append mode withholds it: watermark eviction semantics.
+    assert ("2024-01-01 23:00:00", "sentinel") not in out
+
+
+def test_incremental_microbatches_to_table(spark, tmp_path):
+    """Two availableNow runs over a growing directory: second run picks
+    up ONLY the new file (checkpointed progress), appends to a table."""
+    src = tmp_path / "inc_src"
+    ckpt = str(tmp_path / "inc_ckpt")
+    _write_events(src, EVENTS[:2])
+    stream = stream_events_from_directory(spark, str(src))
+
+    def run():
+        q = write_stream_append(
+            stream.select("event_id", "ts", "event_type"),
+            checkpoint_dir=ckpt,
+            table_name="stream_events_sink",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.table("stream_events_sink").count()
+    assert first == 2
+    _write_events(src, EVENTS[2:])
+    run()
+    assert spark.table("stream_events_sink").count() == 3  # +1, no reprocess
+
+
+def test_sessionized_stream_matches_batch_semantics(spark, tmp_path):
+    src = tmp_path / "sess_src"
+    _write_events(src, EVENTS + [SENTINEL])
+    stream = stream_events_from_directory(spark, str(src))
+    agg = sessionized_counts_stream(stream, gap="30 minutes")
+    q = write_stream_append(
+        agg,
+        checkpoint_dir=str(tmp_path / "sess_ckpt"),
+        memory_name="sessions_out",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    by_user = {r["user_id"]: r["n_events"] for r in rows}
+    # user 1: events 15min apart merge into one session of 2
+    assert by_user == {1: 2, 2: 1}
