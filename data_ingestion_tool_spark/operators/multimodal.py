@@ -153,6 +153,56 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    *,
+    src_height: int = 32,
+    src_width: int = 32,
+    out_height: int = 8,
+    out_width: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """payload → decoded (stub) → nearest-neighbor resize →
+    (media_id, height, width, channels, pixels). Same Arrow-batched
+    shape contract as decode; the real path swaps the interpolation
+    kernel, not the Spark plumbing."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = (np.arange(out_height) * src_height) // out_height
+        xs = (np.arange(out_width) * src_width) // out_width
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                arr = _try_real_image_decode(payload)
+                if arr is None:
+                    if strict:
+                        raise MediaCodecMissing(
+                            "image decoding requires Pillow, which is not "
+                            "installed in this environment"
+                        )
+                    arr = _fake_decode(payload, src_height, src_width)
+                small = arr[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "height": small.shape[0],
+                        "width": small.shape[1],
+                        "channels": small.shape[2] if small.ndim == 3 else 1,
+                        "pixels": small.ravel().astype(np.int32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "height", "width", "channels", "pixels"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        stage,
+        "media_id string, height int, width int, channels int, pixels array<int>",
+    )
+
+
 def sample_frames(
     df: DataFrame, *, every_ms: int = 1000, strict: bool = False
 ) -> DataFrame:
@@ -272,6 +322,24 @@ FROM documents
 """
 
 
+def media_resize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize to 8×8; the shape contract is
+    the oracle-checked surface."""
+    media = media_table_from_documents(spark, sf_dir)
+    return resize_images(media).select(
+        "media_id", "height", "width", "channels"
+    )
+
+
+MEDIA_RESIZE_SHAPES_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8 AS INT) AS height,
+       CAST(8 AS INT) AS width,
+       CAST(3 AS INT) AS channels
+FROM documents
+"""
+
+
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample frames at a fixed interval from every synthetic video;
     the (media_id, frame_idx, ts_ms) timing grid is the oracle-checked
@@ -307,6 +375,10 @@ def _specs():
         QuerySpec("media_feature_norms", media_feature_norms,
                   MEDIA_FEATURE_NORMS_SQL,
                   "payload → unit-norm feature vector contract",
+                  ("multimodal",)),
+        QuerySpec("media_resize_shapes", media_resize_shapes,
+                  MEDIA_RESIZE_SHAPES_SQL,
+                  "decode + nearest-neighbor resize shape contract",
                   ("multimodal",)),
         QuerySpec("media_frame_sample", media_frame_sample,
                   MEDIA_FRAME_SAMPLE_SQL,

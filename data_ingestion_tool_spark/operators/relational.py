@@ -707,7 +707,228 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Advanced joins: full/right outer, as-of (SURVEY §2.5 last row)
+# ---------------------------------------------------------------------------
+
+
+def orders_customers_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-customer order counts vs a customer subset;
+    both null sides survive (customers with no orders, orders whose
+    customer misses the filter)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    subset = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    return (
+        per_cust.join(subset, per_cust.o_custkey == subset.c_custkey, "full")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+ORDERS_CUSTOMERS_FULL_SQL = """
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+       c.c_name AS c_name,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def orders_right_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join at row level: every deep-debt customer kept,
+    order keys null where no orders exist."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < -900)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+ORDERS_RIGHT_JOIN_CUSTOMERS_SQL = """
+SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey
+FROM orders o RIGHT JOIN (SELECT * FROM customer WHERE c_acctbal < -900) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, expressed Spark-natively: for every purchase event,
+    the most recent STRICTLY PRIOR non-purchase event of the same user.
+
+    No O(n²) time-range join: one partition-by-user window with a
+    ``last(..., ignorenulls)`` over rows (unbounded, -1) — the standard
+    scalable as-of pattern (sort once per key, no pair enumeration).
+    At 100 TB both sides shuffle once on user_id and the sort is
+    spill-safe; contrast with a range theta-join which Spark would plan
+    as a nested loop.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("prev_event_id", prior)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "prev_event_id")
+    )
+
+
+ASOF_LAST_EVENT_SQL = """
+SELECT event_id, user_id, prev_event_id FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_event_id
+  FROM events
+) WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additional aggregation shapes (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation — the
+    general form of rollup/cube, via the engine's SQL surface (the
+    reference's own query entry point, box_export.py:36)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct sorted priorities per status, joined
+    to a string so the cross-engine comparison is on scalars."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_COLLECT_SETS_SQL = """
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts (the 100 TB path where exact
+    COUNT DISTINCT's shuffle is the bottleneck). Estimator is
+    engine-specific → rows-only driver check; the exact-vs-approx
+    error bound is asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional window shapes (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a deterministic total
+    order (price, key) per priority class."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_NTILE_ORDERS_SQL = """
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: how many orders in the same priority
+    fall within $5000 below this order's price. Frame bounds are
+    comparisons on the ordering value → deterministic under ties."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 0)
+    )
+    return o.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_similar")
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                      RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_similar
+FROM orders
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("orders_customers_full", orders_customers_full,
+              ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
+    QuerySpec("orders_right_join_customers", orders_right_join_customers,
+              ORDERS_RIGHT_JOIN_CUSTOMERS_SQL, "right outer join", ("join",)),
+    QuerySpec("asof_last_event", asof_last_event, ASOF_LAST_EVENT_SQL,
+              "as-of join via per-key window (no pair enumeration)", ("join", "events")),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL,
+              "explicit GROUPING SETS + GROUPING()", ("agg",)),
+    QuerySpec("agg_collect_sets", agg_collect_sets, AGG_COLLECT_SETS_SQL,
+              "collect_set array aggregation", ("agg",)),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
+              "HLL++ approximate distinct", ("agg",)),
+    QuerySpec("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORDERS_SQL,
+              "ntile/percent_rank/cume_dist", ("window",)),
+    QuerySpec("window_range_frame", window_range_frame, WINDOW_RANGE_FRAME_SQL,
+              "value-based RANGE frame", ("window",)),
     QuerySpec("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL,
               "TPC-H Q1-shaped scan→filter→groupBy→multi-agg", ("agg", "flagship")),
     QuerySpec("agg_distinct", agg_distinct, AGG_DISTINCT_SQL,

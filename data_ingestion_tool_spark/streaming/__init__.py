@@ -13,6 +13,7 @@ batch-like backfills with streaming semantics.
 """
 
 from data_ingestion_tool_spark.streaming.streams import (
+    running_user_totals_stream,
     sessionized_counts_stream,
     stream_events_from_directory,
     windowed_counts_stream,
@@ -20,6 +21,7 @@ from data_ingestion_tool_spark.streaming.streams import (
 )
 
 __all__ = [
+    "running_user_totals_stream",
     "sessionized_counts_stream",
     "stream_events_from_directory",
     "windowed_counts_stream",

@@ -7,6 +7,7 @@ from data_ingestion_tool_spark.operators.multimodal import (
     decode_images,
     extract_features,
     media_table_from_files,
+    resize_images,
     sample_frames,
 )
 
@@ -47,6 +48,17 @@ def test_extract_features_unit_norm(spark, tmp_path):
     for r in feats:
         norm = math.sqrt(sum(x * x for x in r["embedding"]))
         assert abs(norm - 1.0) < 1e-3
+
+
+def test_resize_images_downsamples_decode(spark, tmp_path):
+    m = _media(spark, tmp_path)
+    full = {r["media_id"]: r for r in decode_images(m, height=32, width=32).collect()}
+    small = {r["media_id"]: r for r in resize_images(m, out_height=8, out_width=8).collect()}
+    assert small.keys() == full.keys()
+    for mid, r in small.items():
+        assert (r["height"], r["width"], r["channels"]) == (8, 8, 3)
+        # nearest-neighbor: resized (0,0) pixel == source (0,0) pixel
+        assert r["pixels"][:3] == full[mid]["pixels"][:3]
 
 
 def test_sample_frames_timing(spark, tmp_path):

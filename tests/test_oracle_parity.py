@@ -27,3 +27,19 @@ def test_rows_only_queries_run(spark):
         if spec.oracle is None:
             df = spec.builder(spark, SF_CORRECT)
             assert df.count() >= 0, name
+
+
+def test_approx_distinct_within_hll_error(spark):
+    """HLL++ estimates land within 5% of exact distinct counts (default
+    relative SD is 0.05; at these cardinalities 5% is a safe bound)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    both = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    for r in both.collect():
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"] + 1

@@ -9,6 +9,7 @@ import json
 import pytest
 
 from data_ingestion_tool_spark.streaming import (
+    running_user_totals_stream,
     sessionized_counts_stream,
     stream_events_from_directory,
     windowed_counts_stream,
@@ -88,6 +89,41 @@ def test_incremental_microbatches_to_table(spark, tmp_path):
     _write_events(src, EVENTS[2:])
     run()
     assert spark.table("stream_events_sink").count() == 3  # +1, no reprocess
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals survive a query
+    restart (checkpointed state), accumulating across availableNow
+    runs in update mode."""
+    src = tmp_path / "state_src"
+    ckpt = str(tmp_path / "state_ckpt")
+    _write_events(src, EVENTS[:2])  # user 1: values 1.0, 2.0
+    stream = stream_events_from_directory(spark, str(src))
+    totals = running_user_totals_stream(stream)
+
+    def run():
+        # memory sink can't recover from a checkpoint; foreachBatch can,
+        # and on local mode it runs in-process so a closure collects
+        rows = []
+        q = (
+            totals.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+
+    first = run()
+    assert first[1] == (2, 3.0)
+
+    _write_events(src, EVENTS[2:])  # user 2: value 3.0 — new batch
+    _write_events(src, [dict(EVENTS[0], event_id=10, value=5.0)])  # user 1 again
+    second = run()
+    # user 1's state carried over the restart: 2 prior + 1 new
+    assert second[1] == (3, 8.0)
+    assert second[2] == (1, 3.0)
 
 
 def test_sessionized_stream_matches_batch_semantics(spark, tmp_path):
