@@ -33,6 +33,7 @@ HEADLINE = [
     "scalar_json_events",
     "tumbling_hourly",
     "session_windows",
+    "asof_last_event",
     "text_quality",
     "token_counts",
     "dedup_exact_docs",
