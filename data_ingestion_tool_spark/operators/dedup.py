@@ -192,8 +192,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window exchange — one shuffle, no extra sizes join here
     w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
     w_all = Window.partitionBy("doc_id")
+    # df_counts is |distinct shingles| rows of (long, long) — broadcast
+    # it so postings aren't shuffled just to pick up frequencies. (At
+    # 100 TB the distinct-shingle table can exceed broadcast size; drop
+    # the hint and this becomes a shuffle join on the same plan.)
     ranked = (
-        posting.join(df_counts, "shingle")
+        posting.join(F.broadcast(df_counts), "shingle")
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_all))
     )

@@ -866,6 +866,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status. Pinned
+    pivot values (no discovery pass); absent combos coalesce to 0 to
+    match SQL FILTER semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+PIVOT_STATUS_COUNTS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a deterministic total
     order (price, key) per priority class."""
@@ -925,6 +952,8 @@ SPECS: list[QuerySpec] = [
               "collect_set array aggregation", ("agg",)),
     QuerySpec("agg_approx_distinct", agg_approx_distinct, None,
               "HLL++ approximate distinct", ("agg",)),
+    QuerySpec("pivot_status_counts", pivot_status_counts, PIVOT_STATUS_COUNTS_SQL,
+              "PIVOT with pinned values", ("agg",)),
     QuerySpec("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORDERS_SQL,
               "ntile/percent_rank/cume_dist", ("window",)),
     QuerySpec("window_range_frame", window_range_frame, WINDOW_RANGE_FRAME_SQL,

@@ -224,7 +224,61 @@ FROM documents
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF top-3 terms per document (SURVEY §2.11 tf-idf).
+
+    Expressed as three aggregations over one exploded token table —
+    term frequency, document length, document frequency — joined and
+    window-ranked. All shuffles key on doc_id or term; document
+    frequency is a broadcast-sized side at any corpus size with a
+    bounded vocabulary. Deterministic tie-break: (score desc, term).
+    """
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    terms = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
+    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("k").cast("double") / F.col("len")) * F.log(
+        F.lit(float(n_docs)) / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS k FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, rank FROM (
+  SELECT tf.doc_id, tf.term,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (CAST(k AS DOUBLE) / len)
+                    * ln(CAST(n_docs AS DOUBLE) / df) DESC, tf.term
+         ) AS rank
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+) WHERE rank <= 3
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
+              "exact TF-IDF top-3 terms per document", ("text",)),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL,
               "per-doc token/char statistics", ("text",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL,
