@@ -8,11 +8,12 @@ from data_ingestion_tool_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     text,
 )
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational, events, text, dedup, similarity, multimodal]
+_MODULES = [relational, events, text, dedup, similarity, multimodal, skew]
 
 
 def registry() -> dict[str, QuerySpec]:

@@ -171,6 +171,108 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NCENTROIDS = 16
+_IVF_NPROBE = 4
+_IVF_KMEANS_ITERS = 5
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the
+    coarse-quantizer scale path next to the LSH variant.
+
+    1. **Train** (driver, constant cost): a deterministic sample of
+       vectors → spherical k-means (numpy, seeded, few Lloyd rounds)
+       → ``ncentroids`` unit centroids. At 100 TB the sample is a
+       vanishing fraction; training never touches the full data.
+    2. **Assign** (distributed): broadcast centroids; one BLAS argmax
+       per Arrow batch tags every vector with its nearest list.
+    3. **Probe**: each query scores all centroids (driver, tiny) and
+       keeps ``nprobe`` lists; candidates = vectors in those lists
+       (equi-join on list_id — partition-pruned at scale when the
+       index table is written partitioned by list_id); exact cosine
+       rerank + window top-k restores precision within the probed
+       lists.
+
+    Same output contract as ann_bruteforce_topk; recall
+    property-tested against it. Rows-only driver check.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return m / n
+
+    # --- train on a deterministic ~1/7 sample
+    sample_pdf = emb.filter(F.col("vec_id") % 7 == 0).toPandas()
+    sample = _unit(np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(42)
+    centroids = sample[rng.choice(len(sample), _IVF_NCENTROIDS, replace=False)]
+    for _ in range(_IVF_KMEANS_ITERS):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(_IVF_NCENTROIDS):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    # --- assign every vector to its nearest list
+    def assign_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _unit(np.vstack(pdf["embedding"].to_numpy()).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "list_id": (m @ cents.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    lists = emb.mapInPandas(assign_stage, "vec_id long, list_id int")
+
+    # --- probe: nprobe nearest lists per query (queries are tiny)
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_mat = _unit(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
+    probe_rows = [
+        (int(qid), int(lid))
+        for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
+        for lid in np.argsort(-scores)[:_IVF_NPROBE]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+
+    candidates = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("vec_id"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ threshold — embedding-space near-dup
     detection. Exact, computed as a broadcast matrix product:
@@ -265,6 +367,8 @@ SPECS: list[QuerySpec] = [
               "exact cosine top-k (broadcast brute force)", ("similarity",)),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None,
               "LSH-bucketed approximate cosine top-k", ("similarity",)),
+    QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
+              "IVF coarse-quantized approximate cosine top-k", ("similarity",)),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               "cosine-threshold near-dup pairs", ("similarity", "dedup")),
     QuerySpec("label_centroid_norms", label_centroid_distances, None,

@@ -1,0 +1,90 @@
+"""Skew-resilient join strategies.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime, but it only kicks in for sort-merge joins after shuffle-size
+statistics exist. ``salted_join`` is the explicit pre-plan fallback for
+the pathological case — a handful of keys owning a double-digit share
+of a 100 TB fact table — where you want the fan-out decided before the
+shuffle, not discovered during it.
+
+Mechanics: the large (skewed) side gets a deterministic salt in
+[0, salt); the small side is replicated ``salt`` times (explode of a
+sequence — a row-count multiplication, so keep the small side small or
+the salt modest); the join key becomes (key, salt), spreading each hot
+key over ``salt`` shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.functions import dec, dec_sum
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+_SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt``
+    sub-keys. Semantically identical to ``big.join(small, on, how)``
+    for inner/left joins (each big row matches exactly one replica).
+
+    The salt is a deterministic function of row position (partition id
+    + in-partition offset via ``monotonically_increasing_id``) — NOT
+    random — so retries/speculative tasks produce identical output,
+    while a hot key's rows still fan out within each input partition.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (replicated-right)")
+    spread = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    big_salted = big.withColumn(_SALT_COL, spread)
+    small_replicated = small.withColumn(
+        _SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_salted.join(small_replicated, [*on, _SALT_COL], how).drop(
+        _SALT_COL
+    )
+
+
+def salted_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem through the salted path, aggregated — the
+    oracle (a plain SQL join) proves salting is semantics-preserving.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))).alias("rev")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SALTED_REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("salted_revenue_by_priority", salted_revenue_by_priority,
+              SALTED_REVENUE_BY_PRIORITY_SQL,
+              "hot-key-salted fact-dim join, oracle-proven equivalent",
+              ("join", "skew")),
+]

@@ -77,6 +77,26 @@ def sessionized_counts_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicates
+    arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the first sighting — bounded state, unlike an
+    unbounded ``dropDuplicates`` which must remember every key forever.
+    The streaming twin of dedup.dedup_exact_docs/dedup_first_event.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value total) maintained across micro-batches.

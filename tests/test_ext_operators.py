@@ -5,6 +5,7 @@ DuckDB can't express engine-specific hashes)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.dedup import (
     dedup_minhash_lsh,
@@ -14,6 +15,7 @@ from data_ingestion_tool_spark.operators.dedup import (
 from data_ingestion_tool_spark.operators.similarity import (
     TOP_K,
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
 )
 from tests.conftest import SF_CORRECT
@@ -46,6 +48,42 @@ def test_simhash_finds_planted_near_dups(spark, exact_pairs):
     assert sim_pairs, "simhash found nothing"
     overlap = len(sim_pairs & exact_pairs)
     assert overlap / len(exact_pairs) >= 0.5
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = ann_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = ann_ivf_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing 4/16 lists; regression floor, not a quality target
+    assert recall >= 0.4, f"IVF top-k recall {recall:.2f}"
+    per_query = {}
+    for r in approx:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+    assert all(v <= TOP_K for v in per_query.values())
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-for-row identical to the plain join."""
+    from data_ingestion_tool_spark.operators.skew import salted_join
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_CORRECT, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(o, ["l_orderkey"]).groupBy("o_orderpriority").count()
+    salted = (
+        salted_join(li, o, ["l_orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):

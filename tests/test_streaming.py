@@ -9,6 +9,7 @@ import json
 import pytest
 
 from data_ingestion_tool_spark.streaming import (
+    dedup_events_stream,
     running_user_totals_stream,
     sessionized_counts_stream,
     stream_events_from_directory,
@@ -89,6 +90,26 @@ def test_incremental_microbatches_to_table(spark, tmp_path):
     _write_events(src, EVENTS[2:])
     run()
     assert spark.table("stream_events_sink").count() == 3  # +1, no reprocess
+
+
+def test_streaming_dedup_drops_watermark_window_dupes(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids inside one
+    availableNow run are emitted once."""
+    src = tmp_path / "dedup_src"
+    dupes = EVENTS + [dict(EVENTS[0], value=99.0)]  # event_id 1 again
+    _write_events(src, dupes)
+    stream = stream_events_from_directory(spark, str(src))
+    deduped = dedup_events_stream(stream, watermark="1 hour")
+    q = write_stream_append(
+        deduped.select("event_id", "ts", "event_type"),
+        checkpoint_dir=str(tmp_path / "dedup_ckpt"),
+        memory_name="dedup_out",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]  # the duplicate id-1 row was dropped
 
 
 def test_stateful_running_totals_across_restarts(spark, tmp_path):
