@@ -64,27 +64,59 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: queries (vec_id < N_QUERIES) broadcast
-    against all candidates; per-query rank via window."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
-    candidates = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
-    scored = (
-        candidates.crossJoin(F.broadcast(queries))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
-        )
+    """Exact cosine top-k, scale-shaped:
+
+    - queries (vec_id < N_QUERIES) are broadcast as a dense matrix;
+    - candidates stream partition-parallel through ``mapInPandas``,
+      each Arrow batch scored with one BLAS GEMM;
+    - **partial top-k per batch**: only |Q|·k (score, id) pairs leave
+      each batch, so the final shuffle ranks |batches|·|Q|·k rows
+      instead of N·|Q| — at 100 TB the difference between shuffling
+      gigabytes of scores and kilobytes.
+    - exact global rank via one window over the tiny partial set.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_c = pdf["vec_id"].to_numpy(np.int64)
+            mc = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mc = mc / np.linalg.norm(mc, axis=1, keepdims=True)
+            scores = mc @ mq.T  # |batch| × |Q|
+            scores[ids_c[:, None] == ids_q[None, :]] = -np.inf  # self
+            k = min(TOP_K, len(ids_c))
+            top = np.argpartition(-scores, k - 1, axis=0)[:k]  # k × |Q|
+            out_q = np.repeat(ids_q[None, :], k, axis=0).ravel()
+            out_n = ids_c[top].ravel()
+            out_s = np.take_along_axis(scores, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "score": out_s[keep],
+                }
+            )
+
+    partial = emb.mapInPandas(
+        stage, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )

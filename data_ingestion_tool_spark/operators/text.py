@@ -236,8 +236,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n_docs = d.count()
     terms = d.select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("k"))
-    doclen = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    # doclen and dfreq both re-aggregate tf — the raw token table is
+    # exploded and shuffled exactly once
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("k").alias("len"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = (F.col("k").cast("double") / F.col("len")) * F.log(
         F.lit(float(n_docs)) / F.col("df")

@@ -62,13 +62,48 @@ def append_table(
     catalog: str | None = None,
     schema: str | None = None,
     add_process_dt: bool = True,
+    partition_by: list[str] | None = None,
 ) -> None:
-    """Single-transaction append (one call per table per run)."""
+    """Single-transaction append (one call per table per run).
+
+    ``partition_by`` prunes at scale: a table partitioned by ingest
+    date (or any low-cardinality key) lets every downstream filter on
+    that key skip whole directories (partition pruning), and
+    concurrent writers touch disjoint partitions.
+    """
     if add_process_dt:
         df = df.withColumn("process_dt", process_dt_col())
-    df.write.format(TABLE_FORMAT).mode("append").saveAsTable(
-        qualified(table_name, catalog, schema)
+    writer = df.write.format(TABLE_FORMAT).mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(qualified(table_name, catalog, schema))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    catalog: str | None = None,
+    schema: str | None = None,
+) -> None:
+    """Write a managed table bucketed (and optionally sorted) by the
+    join/agg key. Two tables co-bucketed on the same key with the same
+    bucket count join with NO shuffle on either side — the planner
+    reads the bucket layout from the catalog. At 100 TB this is how a
+    repeatedly-joined fact pair amortizes its shuffle: pay it once at
+    write time, never at read time.
+    """
+    writer = (
+        df.write.format(TABLE_FORMAT)
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
     )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(qualified(table_name, catalog, schema))
 
 
 def write_split(

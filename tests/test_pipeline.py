@@ -225,3 +225,42 @@ def test_select_files_regex_anchored():
     ]
     # re.match anchors at start: 'sales_.*' must NOT match 'xsales_a.csv'
     assert [f.id for f in select_files(files, r"sales_.*\.csv")] == ["1"]
+
+
+def test_bucketed_join_plans_without_shuffle(spark):
+    """Two tables co-bucketed on the join key: the planned join has no
+    Exchange on either input (the write-time shuffle is amortized)."""
+    from data_ingestion_tool_spark.sinks.tables import write_bucketed
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_bkt", bucket_cols=["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_bkt", bucket_cols=["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"])
+    li_t, o_t = spark.table("li_bkt"), spark.table("o_bkt")
+    # merge hint: force sort-merge (small inputs would broadcast, which
+    # sidesteps bucketing); the point is zero shuffle on a SMJ
+    joined = li_t.hint("merge").join(o_t, li_t.l_orderkey == o_t.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the join still answers correctly
+    assert joined.count() == spark.table("li_bkt").count()
+
+
+def test_partitioned_append_prunes(spark):
+    """partition_by writes a layout the planner prunes on."""
+    from data_ingestion_tool_spark.sinks.tables import append_table
+
+    df = spark.createDataFrame(
+        [(1, "a", "2026-01-01"), (2, "b", "2026-01-02")],
+        "k int, v string, dt string",
+    )
+    append_table(df, "part_tbl", add_process_dt=False, partition_by=["dt"])
+    q = spark.table("part_tbl").filter("dt = '2026-01-01'")
+    assert q.count() == 1
+    scan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in scan or "dt=2026-01-01" in scan
