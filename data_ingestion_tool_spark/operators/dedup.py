@@ -121,22 +121,30 @@ def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _jaccard_pairs_from_candidates(
-    candidates: DataFrame, sets_a: DataFrame, sets_b: DataFrame
+    candidates: DataFrame, sets: DataFrame
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs."""
-    joined = (
-        candidates.join(
-            sets_a.select(
-                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            sets_b.select(
-                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
-            ),
-            "doc_b",
-        )
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    The per-doc hashed-shingle arrays (|docs| rows × ~K longs) are
+    BROADCAST onto the candidate pairs — verification runs with zero
+    shuffles, one ``array_intersect`` per pair. At corpus sizes where
+    the doc-set table outgrows broadcast, drop the hints and the same
+    plan becomes two shuffle joins.
+    """
+    hashed = sets.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    joined = candidates.join(
+        F.broadcast(
+            hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+        ),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
@@ -174,10 +182,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between joining stop-shingles and not.
 
     Set sizes and intersection counts both derive from ONE posting
-    table, persisted — five plan branches (document frequencies, set
-    sizes, prefix ranking, both verify joins) read it, and the
-    shingling transform is interpreted, so recomputation is the
-    dominant cost.
+    table, persisted across the document-frequency and prefix-ranking
+    branches; verification joins broadcast per-doc arrays, touching no
+    posting shuffle at all.
     """
     sets = shingle_sets(_docs(spark, sf_dir))
     posting = hashed_postings(sets).persist()
@@ -187,7 +194,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = posting.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rank within doc by rarity AND count the set size in the same
     # window exchange — one shuffle, no extra sizes join here
     w_rank = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -216,33 +222,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify: exact intersection count over the FULL posting lists
-    inter = (
-        candidates.join(
-            posting.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-        )
-        .join(
-            posting.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    with_sizes = inter.join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-        "doc_a",
-    ).join(
-        F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-        "doc_b",
-    )
-    jaccard = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
-    return (
-        with_sizes.withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    # verify: exact intersection over broadcast hashed-shingle arrays
+    return _jaccard_pairs_from_candidates(candidates, sets)
 
 
 DEDUP_NGRAM_JACCARD_SQL = r"""
@@ -322,7 +303,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs_from_candidates(candidates, sets, sets)
+    return _jaccard_pairs_from_candidates(candidates, sets)
 
 
 # ---------------------------------------------------------------------------
