@@ -135,7 +135,47 @@ GROUP BY user_id ORDER BY total_spent DESC, user_id LIMIT 25
 """
 
 
+def purchases_after_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming interval join: each click paired
+    with the same user's purchases within 1 hour after it. Equi-join
+    on user_id (one shuffle) + a time-range residual filter — NOT a
+    pure range theta-join, which Spark would nested-loop.
+    """
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(purchases, "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("interval 1 hour"))
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
+PURCHASES_AFTER_CLICKS_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("purchases_after_clicks", purchases_after_clicks,
+              PURCHASES_AFTER_CLICKS_SQL,
+              "interval join: purchases within 1h after a click",
+              ("events", "join")),
     QuerySpec("tumbling_hourly", tumbling_hourly, TUMBLING_HOURLY_SQL,
               "tumbling 1h event-time windows", ("events", "window")),
     QuerySpec("sliding_hourly", sliding_hourly, SLIDING_HOURLY_SQL,

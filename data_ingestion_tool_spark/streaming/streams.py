@@ -77,6 +77,53 @@ def sessionized_counts_stream(
     )
 
 
+def purchases_after_clicks_stream(
+    events: DataFrame,
+    *,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with the same
+    user's purchases inside ``within`` after it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so the state store can evict rows once
+    they can no longer match — the unbounded-state trap of a plain
+    stream-stream equi-join is avoided.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {within}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def dedup_events_stream(
     events: DataFrame,
     *,

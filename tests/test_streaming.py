@@ -10,6 +10,7 @@ import pytest
 
 from data_ingestion_tool_spark.streaming import (
     dedup_events_stream,
+    purchases_after_clicks_stream,
     running_user_totals_stream,
     sessionized_counts_stream,
     stream_events_from_directory,
@@ -90,6 +91,36 @@ def test_incremental_microbatches_to_table(spark, tmp_path):
     _write_events(src, EVENTS[2:])
     run()
     assert spark.table("stream_events_sink").count() == 3  # +1, no reprocess
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to same-user purchases within 1 hour after."""
+    src = tmp_path / "ssj_src"
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 10:30:00", "user_id": 1,
+         "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 13:00:00", "user_id": 1,
+         "event_type": "purchase", "value": 9.0, "props": "{}"},  # too late
+        {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 2,
+         "event_type": "click", "value": 0.0, "props": "{}"},  # no purchase
+    ]
+    _write_events(src, rows)
+    stream = stream_events_from_directory(spark, str(src))
+    joined = purchases_after_clicks_stream(stream, within="1 hour")
+    q = write_stream_append(
+        joined,
+        checkpoint_dir=str(tmp_path / "ssj_ckpt"),
+        memory_name="ssj_out",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = [
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    ]
+    assert out == [(1, 1, 2)]
 
 
 def test_streaming_dedup_drops_watermark_window_dupes(spark, tmp_path):
