@@ -36,6 +36,7 @@ HEADLINE = [
     "asof_last_event",
     "text_quality",
     "token_counts",
+    "training_data_pipeline",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

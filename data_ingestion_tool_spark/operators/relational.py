@@ -866,6 +866,54 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def explode_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: parse the JSON props payload to a map
+    and explode to (event_id, key, value) rows — one shuffle-free
+    narrow transform. (The oracle mirrors the known single-key payload
+    shape; Spark side is a genuine generic map explode.)"""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "value"),
+    )
+    return parsed
+
+
+EXPLODE_EVENT_PROPS_SQL = """
+SELECT event_id, 'k' AS key,
+       CAST(json_extract_string(props, '$.k') AS INT) AS value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+def priciest_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SQL-delegated surface): orders whose
+    price equals their priority class's maximum. Catalyst rewrites the
+    correlation to an aggregate + join; comparisons on doubles are
+    exact, so the oracle agrees bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders_corr o
+        WHERE o_totalprice = (SELECT MAX(i.o_totalprice)
+                              FROM orders_corr i
+                              WHERE i.o_orderpriority = o.o_orderpriority)
+        """
+    )
+
+
+PRICIEST_ORDER_PER_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(i.o_totalprice)
+                      FROM orders i
+                      WHERE i.o_orderpriority = o.o_orderpriority)
+"""
+
+
 def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: order counts per priority, one column per status. Pinned
     pivot values (no discovery pass); absent combos coalesce to 0 to
@@ -954,6 +1002,11 @@ SPECS: list[QuerySpec] = [
               "HLL++ approximate distinct", ("agg",)),
     QuerySpec("pivot_status_counts", pivot_status_counts, PIVOT_STATUS_COUNTS_SQL,
               "PIVOT with pinned values", ("agg",)),
+    QuerySpec("explode_event_props", explode_event_props, EXPLODE_EVENT_PROPS_SQL,
+              "JSON map parse + explode (generator surface)", ("scalar",)),
+    QuerySpec("priciest_order_per_priority", priciest_order_per_priority,
+              PRICIEST_ORDER_PER_PRIORITY_SQL,
+              "correlated scalar subquery", ("join", "agg")),
     QuerySpec("window_ntile_orders", window_ntile_orders, WINDOW_NTILE_ORDERS_SQL,
               "ntile/percent_rank/cume_dist", ("window",)),
     QuerySpec("window_range_frame", window_range_frame, WINDOW_RANGE_FRAME_SQL,

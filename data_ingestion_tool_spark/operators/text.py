@@ -282,9 +282,53 @@ SELECT doc_id, term, rank FROM (
 """
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: length + lang
+    filters → exact dedup (keep min doc_id per content fingerprint) →
+    per-source corpus stats. Every stage is the operator the suite
+    tests individually; this query proves they compose without a
+    driver round-trip — filters reach the scan, dedup is one window,
+    stats are one agg.
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    filtered = d.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    )
+    w = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).alias("total_tokens"),
+    )
+
+
+TRAINING_DATA_PIPELINE_SQL = r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 2000
+) WHERE rn = 1
+GROUP BY source
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "exact TF-IDF top-3 terms per document", ("text",)),
+    QuerySpec("training_data_pipeline", training_data_pipeline,
+              TRAINING_DATA_PIPELINE_SQL,
+              "filter → dedup → corpus stats, composed in one plan",
+              ("text", "dedup", "flagship")),
     QuerySpec("text_stats", text_stats, TEXT_STATS_SQL,
               "per-doc token/char statistics", ("text",)),
     QuerySpec("text_quality", text_quality, TEXT_QUALITY_SQL,
