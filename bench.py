@@ -21,6 +21,7 @@ from data_ingestion_tool_spark.operators import registry
 #: Headline set: one per operator family, weighted toward the
 #: shuffle-heavy shapes that dominate at scale.
 HEADLINE = [
+    "validate_lineitem",
     "pricing_summary",
     "top_revenue_orders",
     "revenue_by_nation",

@@ -5,6 +5,7 @@ from __future__ import annotations
 from data_ingestion_tool_spark.operators import (
     dedup,
     events,
+    ingest,
     multimodal,
     relational,
     similarity,
@@ -13,7 +14,7 @@ from data_ingestion_tool_spark.operators import (
 )
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational, events, text, dedup, similarity, multimodal, skew]
+_MODULES = [relational, events, text, dedup, similarity, multimodal, skew, ingest]
 
 
 def registry() -> dict[str, QuerySpec]:
