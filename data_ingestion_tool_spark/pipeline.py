@@ -77,12 +77,17 @@ def execute_ingest(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        local_paths = []
+        # remote fetches are I/O-bound: a bounded thread pool overlaps
+        # them (the reference downloads serially, one blocking call per
+        # file — box_ingest.py:56-59); order is preserved for the audit
+        from concurrent.futures import ThreadPoolExecutor
+
+        dests = [os.path.join(tmp, f.name) for f in matched]
+        with ThreadPoolExecutor(max_workers=min(8, len(matched))) as pool:
+            list(pool.map(connector.download, matched, dests))
         for f in matched:
-            dest = os.path.join(tmp, f.name)
-            connector.download(f, dest)
             audit.log("Downloaded file", f"{folder_id}/{f.name}")
-            local_paths.append(dest)
+        local_paths = dests
         summary["files"] = len(local_paths)
 
         frames, skipped = read_paths(
