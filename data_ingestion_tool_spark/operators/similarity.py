@@ -374,6 +374,38 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def label_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top covariance eigenvalue — grouped ``applyInPandas``:
+    each label's vectors arrive as one pandas group, numpy does the
+    64×64 eigendecomposition. The canonical shape for per-group ML
+    that SQL can't express; state is one group in memory at a time,
+    groups spread across executors. Rows-only driver check
+    (eigensolver is engine-specific); invariants tested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("label", "embedding")
+
+    def top_eig(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if len(m) < 2:
+            ev = 0.0
+        else:
+            ev = float(np.linalg.eigvalsh(np.cov(m.T))[-1])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(m)],
+                "top_eig": [round(ev, 6)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        top_eig, "label int, n long, top_eig double"
+    )
+
+
 def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector aggregation: centroid → mean member distance.
     Shows array aggregation staying JVM-side (zip_with inside agg)."""
@@ -405,4 +437,7 @@ SPECS: list[QuerySpec] = [
               "cosine-threshold near-dup pairs", ("similarity", "dedup")),
     QuerySpec("label_centroid_norms", label_centroid_distances, None,
               "per-label centroid aggregation", ("similarity",)),
+    QuerySpec("label_top_eigenvalue", label_top_eigenvalue, None,
+              "per-group eigendecomposition via applyInPandas",
+              ("similarity",)),
 ]

@@ -162,6 +162,45 @@ def append_just_copy(
     append_table(projected, table_name, catalog=catalog, schema=schema)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    source: DataFrame,
+    table_name: str,
+    keys: list[str],
+    *,
+    catalog: str | None = None,
+    schema: str | None = None,
+) -> None:
+    """Keyed upsert: source rows replace same-key target rows, others
+    insert — re-running an ingest becomes idempotent instead of
+    duplicating (the reference can only append).
+
+    Delta available → a real MERGE (file-level rewrite of touched
+    files only). Parquet fallback → anti-join keep-set ∪ source,
+    lineage cut with ``localCheckpoint`` so the overwrite doesn't read
+    the files it is replacing. The fallback rewrites the whole table —
+    correct everywhere, economical only below Delta adoption size.
+    """
+    target = qualified(table_name, catalog, schema)
+    if TABLE_FORMAT == "delta":
+        from delta.tables import DeltaTable  # type: ignore
+
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            DeltaTable.forName(spark, target)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    existing = spark.table(target)
+    keep = existing.join(source.select(keys).distinct(), keys, "left_anti")
+    merged = keep.unionByName(source).localCheckpoint(eager=True)
+    merged.write.format(TABLE_FORMAT).mode("overwrite").saveAsTable(target)
+
+
 AUDIT_TABLE = "box_ingestion_log"
 _AUDIT_SCHEMA = "task_owner string, job_action string, log_info string"
 

@@ -86,6 +86,45 @@ def test_salted_join_equals_plain_join(spark):
     )
 
 
+def test_label_top_eigenvalue_invariants(spark):
+    """One row per label; eigenvalues positive and bounded by total
+    variance (trace of the covariance)."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        label_top_eigenvalue,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    rows = label_top_eigenvalue(spark, SF_CORRECT).collect()
+    n_labels = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_labels
+    assert all(r["top_eig"] > 0 for r in rows)
+    assert sum(r["n"] for r in rows) == load_table(
+        spark, SF_CORRECT, "embeddings"
+    ).count()
+
+
+def test_merge_upsert_idempotent_reingest(spark):
+    """merge_upsert: same-key rows replaced, new keys inserted,
+    untouched rows kept; re-running the same upsert changes nothing."""
+    from data_ingestion_tool_spark.sinks.tables import merge_upsert
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).write.format("parquet").mode("overwrite").saveAsTable("upsert_tgt")
+    src = spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string")
+    merge_upsert(spark, src, "upsert_tgt", ["k"])
+    got = {r["k"]: r["v"] for r in spark.table("upsert_tgt").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    merge_upsert(spark, src, "upsert_tgt", ["k"])  # idempotent
+    again = {r["k"]: r["v"] for r in spark.table("upsert_tgt").collect()}
+    assert again == got
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = ann_bruteforce_topk(spark, SF_CORRECT).collect()
     approx = ann_lsh_topk(spark, SF_CORRECT).collect()
