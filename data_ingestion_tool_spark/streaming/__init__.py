@@ -17,6 +17,7 @@ from data_ingestion_tool_spark.streaming.streams import (
     purchases_after_clicks_stream,
     running_user_totals_stream,
     sessionized_counts_stream,
+    stream_ingest,
     stream_events_from_directory,
     windowed_counts_stream,
     write_stream_append,
@@ -27,6 +28,7 @@ __all__ = [
     "purchases_after_clicks_stream",
     "running_user_totals_stream",
     "sessionized_counts_stream",
+    "stream_ingest",
     "stream_events_from_directory",
     "windowed_counts_stream",
     "write_stream_append",

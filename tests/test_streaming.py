@@ -14,6 +14,7 @@ from data_ingestion_tool_spark.streaming import (
     running_user_totals_stream,
     sessionized_counts_stream,
     stream_events_from_directory,
+    stream_ingest,
     windowed_counts_stream,
     write_stream_append,
 )
@@ -91,6 +92,32 @@ def test_incremental_microbatches_to_table(spark, tmp_path):
     _write_events(src, EVENTS[2:])
     run()
     assert spark.table("stream_events_sink").count() == 3  # +1, no reprocess
+
+
+def test_stream_ingest_validates_incrementally(spark, tmp_path):
+    """Files stream through the compiled validation into table +
+    error table; a second run ingests only the new file."""
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ing_ckpt")
+    (src / "f1.csv").write_text("id,amount\n1,10.5\n2,abc\n")
+    metadata = {"id": "int", "amount": "float"}
+
+    def run():
+        q = stream_ingest(
+            spark, str(src), "stream_ingested", metadata,
+            checkpoint_dir=ckpt, schema="id string, amount string",
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.table("stream_ingested").count() == 1  # id=1 valid
+    assert spark.table("stream_ingested_error").count() == 1  # "abc"
+    (src / "f2.csv").write_text("id,amount\n3,7.25\n")
+    run()
+    ok = {r["id"] for r in spark.table("stream_ingested").collect()}
+    assert ok == {1, 3}  # incremental: f1 not reprocessed
+    assert spark.table("stream_ingested_error").count() == 1
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
