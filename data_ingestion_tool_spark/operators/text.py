@@ -282,6 +282,63 @@ SELECT doc_id, term, rank FROM (
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF (the generator/table-function
+    surface): each document expands to fixed-size token chunks with
+    overlap — the standard pre-embedding splitter for RAG/training
+    pipelines. One row in, N rows out, lateral-joined per input row.
+
+    Deterministic splitting (whitespace tokens, size 32, overlap 8), so
+    the DuckDB oracle reproduces it with generate_series arithmetic.
+    """
+    from pyspark.sql.functions import udtf
+
+    CHUNK, OVERLAP = 32, 8
+
+    @udtf(returnType="chunk_idx int, start_tok int, n_toks int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = text.strip().split() if text else []
+            step = CHUNK - OVERLAP
+            i = 0
+            idx = 0
+            while i < len(toks):
+                n = min(CHUNK, len(toks) - i)
+                yield idx, i, n
+                if i + CHUNK >= len(toks):
+                    break
+                i += step
+                idx += 1
+
+    spark.udtf.register("doc_chunker", Chunker)
+    d = _docs(spark, sf_dir)
+    d.createOrReplaceTempView("docs_for_chunking")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.start_tok, c.n_toks
+        FROM docs_for_chunking, LATERAL doc_chunker(text) AS c
+        """
+    )
+
+
+DOC_CHUNKS_SQL = r"""
+WITH lens AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST(CEIL(GREATEST(n - 8, 1) / 24.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM lens WHERE n > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS INT) AS start_tok,
+       CAST(LEAST(32, n - chunk_idx * 24) AS INT) AS n_toks
+FROM idx
+"""
+
+
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline in one plan: length + lang
     filters → exact dedup (keep min doc_id per content fingerprint) →
@@ -325,6 +382,9 @@ GROUP BY source
 SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "exact TF-IDF top-3 terms per document", ("text",)),
+    QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL,
+              "Python UDTF document chunking (lateral table function)",
+              ("text",)),
     QuerySpec("training_data_pipeline", training_data_pipeline,
               TRAINING_DATA_PIPELINE_SQL,
               "filter → dedup → corpus stats, composed in one plan",
