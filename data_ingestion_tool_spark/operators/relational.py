@@ -941,6 +941,46 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, covariance, stddev.
+    Accumulation order differs across engines at ~1e-15; rounding to 6
+    decimals makes the comparison exact while still value-checking."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("stddev_qty"),
+    )
+
+
+AGG_STATISTICS_SQL = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covar_qty_disc,
+       ROUND(STDDEV_POP(l_quantity), 6) AS stddev_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-language fractions — the
+    corpus rebalancing step of a training-data pipeline. Sampling is
+    engine-specific (seeded Bernoulli per row) → rows-only check;
+    per-stratum rates are asserted in tests."""
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+SPECS_STATS = [
+    QuerySpec("agg_statistics", agg_statistics, AGG_STATISTICS_SQL,
+              "corr/covar/stddev aggregate family", ("agg",)),
+    QuerySpec("stratified_sample_docs", stratified_sample_docs, None,
+              "per-stratum Bernoulli sampling (corpus rebalancing)",
+              ("agg", "text")),
+]
+
+
 def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a deterministic total
     order (price, key) per priority class."""
@@ -1057,4 +1097,5 @@ SPECS: list[QuerySpec] = [
               SCALAR_CONDITIONAL_FUNCS_SQL, "CASE WHEN / NULLIF", ("scalar",)),
     QuerySpec("scalar_json_events", scalar_json_events, SCALAR_JSON_EVENTS_SQL,
               "JSON extraction", ("scalar",)),
+    *SPECS_STATS,
 ]

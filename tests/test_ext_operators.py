@@ -125,6 +125,27 @@ def test_merge_upsert_idempotent_reingest(spark):
     assert again == got
 
 
+def test_stratified_sample_rates(spark):
+    """sampleBy hits each stratum's fraction within Bernoulli noise."""
+    from data_ingestion_tool_spark.operators.relational import (
+        stratified_sample_docs,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    sampled = stratified_sample_docs(spark, SF_CORRECT)
+    got = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    for lang, frac in fractions.items():
+        if lang not in totals:
+            continue
+        expected = totals[lang] * frac
+        # 4-sigma Bernoulli tolerance
+        tol = 4 * (totals[lang] * frac * (1 - frac)) ** 0.5 + 1
+        assert abs(got.get(lang, 0) - expected) <= tol, (lang, got, expected)
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = ann_bruteforce_topk(spark, SF_CORRECT).collect()
     approx = ann_lsh_topk(spark, SF_CORRECT).collect()
