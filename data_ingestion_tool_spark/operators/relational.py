@@ -941,6 +941,46 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map function library over constructed collections: build
+    per-row arrays from scalar columns, then sort/slice/filter/reduce
+    them — the collection-manipulation surface an export query can use.
+    Outputs are scalars so the cross-engine comparison is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_max(arr).alias("arr_max"),
+        F.array_min(arr).alias("arr_min"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("arr_sum"),
+        F.size(F.filter(arr, lambda x: x > 0.05)).alias("n_over"),
+        F.array_join(
+            F.transform(F.array_sort(arr), lambda x: F.round(x, 2).cast("string")),
+            "|",
+        ).alias("sorted_joined"),
+    )
+
+
+SCALAR_ARRAY_MAP_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       list_max(a) AS arr_max,
+       list_min(a) AS arr_min,
+       len(list_distinct(a)) AS n_distinct,
+       ROUND(list_sum(a), 6) AS arr_sum,
+       len(list_filter(a, x -> x > 0.05)) AS n_over,
+       array_to_string(list_transform(list_sort(a),
+                                      x -> CAST(ROUND(x, 2) AS VARCHAR)), '|')
+           AS sorted_joined
+FROM (SELECT l_orderkey, l_linenumber,
+             [l_quantity, l_discount, l_tax] AS a
+      FROM lineitem WHERE l_orderkey < 200)
+"""
+
+
 def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: correlation, covariance, stddev.
     Accumulation order differs across engines at ~1e-15; rounding to 6
@@ -973,6 +1013,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS_STATS = [
+    QuerySpec("scalar_array_map_funcs", scalar_array_map_funcs,
+              SCALAR_ARRAY_MAP_FUNCS_SQL,
+              "array construction/sort/filter/reduce library", ("scalar",)),
     QuerySpec("agg_statistics", agg_statistics, AGG_STATISTICS_SQL,
               "corr/covar/stddev aggregate family", ("agg",)),
     QuerySpec("stratified_sample_docs", stratified_sample_docs, None,
