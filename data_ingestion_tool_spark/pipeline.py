@@ -63,7 +63,13 @@ def execute_ingest(
     """Discover → fetch → parse → (validate|copy) → append. Returns a
     summary dict {files, valid_rows, invalid_rows, skipped}."""
     audit = AuditLog(owner, catalog=catalog, schema=schema)
-    summary = {"files": 0, "valid_rows": 0, "invalid_rows": 0, "skipped": 0}
+    summary = {
+        "files": 0,
+        "valid_rows": 0,
+        "invalid_rows": 0,
+        "skipped": 0,
+        "failed_batches": 0,
+    }
     tmp = work_dir or os.path.join(
         tempfile.gettempdir(), "ingest", table_name
     )
@@ -90,31 +96,41 @@ def execute_ingest(
         local_paths = dests
         summary["files"] = len(local_paths)
 
-        frames, skipped = read_paths(
+        frames, skipped, failed = read_paths(
             spark, local_paths, sheet_name=sheet_name, skip_rows=skip_rows
         )
         for path in skipped:
             audit.log("Unsupported file type", path)
         summary["skipped"] = len(skipped)
+        for what, err in failed:
+            audit.log("Processing failed", f"{what}: {err}")
+        summary["failed_batches"] = len(failed)
 
-        for _kind, df in frames:
-            df = df.toDF(*[c.strip() for c in df.columns])
-            if just_copy:
-                append_just_copy(
-                    spark, df, table_name, catalog=catalog, schema=schema
+        for kind, df in frames:
+            # one bad batch (unreadable workbook, schema clash) is
+            # quarantined by logging, not by aborting the whole ingest —
+            # reference parity (box_ingest.py:177-178)
+            try:
+                df = df.toDF(*[c.strip() for c in df.columns])
+                if just_copy:
+                    append_just_copy(
+                        spark, df, table_name, catalog=catalog, schema=schema
+                    )
+                    audit.log("File copied directly to table", table_name)
+                    continue
+                valid, invalid = validate_and_split(df, metadata or {})
+                n_valid, n_invalid = write_split(
+                    valid, invalid, table_name, catalog=catalog, schema=schema
                 )
-                audit.log("File copied directly to table", table_name)
-                continue
-            valid, invalid = validate_and_split(df, metadata or {})
-            n_valid, n_invalid = write_split(
-                valid, invalid, table_name, catalog=catalog, schema=schema
-            )
-            summary["valid_rows"] += n_valid
-            summary["invalid_rows"] += n_invalid
-            audit.log(
-                "Batch processed",
-                f"{table_name} (Valid: {n_valid}, Invalid: {n_invalid})",
-            )
+                summary["valid_rows"] += n_valid
+                summary["invalid_rows"] += n_invalid
+                audit.log(
+                    "Batch processed",
+                    f"{table_name} (Valid: {n_valid}, Invalid: {n_invalid})",
+                )
+            except Exception as exc:  # noqa: BLE001 — log-and-continue
+                summary["failed_batches"] = summary.get("failed_batches", 0) + 1
+                audit.log("Processing failed", f"{kind}: {exc}")
 
         if delete:
             # Delete exactly the files we ingested (captured ids), not a

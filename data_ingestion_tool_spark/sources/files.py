@@ -58,11 +58,15 @@ def read_paths(
     *,
     sheet_name: str | None = None,
     skip_rows: int | None = None,
-) -> tuple[list[tuple[str, DataFrame]], list[str]]:
+) -> tuple[list[tuple[str, DataFrame]], list[str], list[tuple[str, str]]]:
     """Group paths by format, read each group in one scan.
 
-    Returns ([(format, DataFrame)], skipped_paths). ZIPs are expanded
-    first (recursively, via a worklist) and their contents re-classified.
+    Returns ([(format, DataFrame)], skipped_paths, failed). ZIPs are
+    expanded first (recursively, via a worklist) and their contents
+    re-classified. A file/group whose reader raises eagerly (corrupt
+    workbook, missing engine) lands in ``failed`` as (path-or-format,
+    error) instead of aborting the batch — reference parity: one bad
+    file never stops the run (box_ingest.py:177-178).
     """
     from data_ingestion_tool_spark.sources.archive import expand_zips
     from data_ingestion_tool_spark.sources.excel import read_excel
@@ -70,6 +74,7 @@ def read_paths(
     flat = expand_zips(paths)
     groups: dict[str, list[str]] = {}
     skipped: list[str] = []
+    failed: list[tuple[str, str]] = []
     for p in flat:
         kind = classify(p)
         if kind is None or kind == "zip":
@@ -79,16 +84,24 @@ def read_paths(
 
     out: list[tuple[str, DataFrame]] = []
     for kind, group in groups.items():
-        if kind == "csv":
-            out.append((kind, read_csv(spark, group)))
-        elif kind == "json":
-            out.append((kind, read_json(spark, group)))
-        elif kind == "parquet":
-            out.append((kind, read_parquet(spark, group)))
-        elif kind in ("xlsx", "xlsm"):
+        try:
+            if kind == "csv":
+                out.append((kind, read_csv(spark, group)))
+            elif kind == "json":
+                out.append((kind, read_json(spark, group)))
+            elif kind == "parquet":
+                out.append((kind, read_parquet(spark, group)))
+        except Exception as exc:  # noqa: BLE001 — quarantine the group
+            failed.append((kind, str(exc)))
+        if kind in ("xlsx", "xlsm"):
             for p in group:  # sheets differ per workbook; read per file
-                out.append((kind, read_excel(spark, p, sheet_name, skip_rows)))
-    return out, skipped
+                try:
+                    out.append(
+                        (kind, read_excel(spark, p, sheet_name, skip_rows))
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    failed.append((p, str(exc)))
+    return out, skipped, failed
 
 
 def local_uri(path: str) -> str:

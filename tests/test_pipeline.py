@@ -264,3 +264,29 @@ def test_partitioned_append_prunes(spark):
     assert q.count() == 1
     scan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in scan or "dt=2026-01-01" in scan
+
+
+def test_bad_batch_logged_not_fatal(spark, remote_dir, tmp_path):
+    """One unreadable batch (xlsx with no engine) is logged and
+    skipped; the CSV in the same run still ingests — reference parity
+    (one bad file doesn't stop the batch, box_ingest.py:177-178)."""
+    import os
+
+    with open(os.path.join(remote_dir, "good.csv"), "w") as f:
+        f.write("id,v\n1,a\n2,b\n")
+    with open(os.path.join(remote_dir, "bad.xlsx"), "wb") as f:
+        f.write(b"not really a workbook")
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "mixed_batch_tbl",
+        remote_dir,
+        r".*\.(csv|xlsx)",
+        just_copy=False,
+        metadata={"id": "int", "v": "string"},
+        work_dir=str(tmp_path / "wd"),
+    )
+    assert summary["valid_rows"] == 2
+    assert summary["failed_batches"] == 1
+    assert spark.table("mixed_batch_tbl").count() == 2
