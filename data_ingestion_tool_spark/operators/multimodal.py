@@ -203,6 +203,61 @@ def resize_images(
     )
 
 
+def decode_audio(
+    df: DataFrame, *, sample_rate: int = 16000, strict: bool = False
+) -> DataFrame:
+    """audio payload → (media_id, sample_rate, n_samples, rms, zcr).
+
+    Stubbed codec (no soundfile/ffmpeg in this container): a
+    deterministic payload-seeded waveform whose length follows
+    meta.duration_ms, so sample counts are checkable in SQL while the
+    waveform statistics (RMS, zero-crossing rate) exercise the real
+    Arrow-batched numerics path.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if strict:
+                    raise MediaCodecMissing(
+                        "audio decoding requires soundfile/ffmpeg, not "
+                        "installed in this environment"
+                    )
+                raw_duration = row["duration_ms"]
+                duration = 3000 if pd.isna(raw_duration) else int(raw_duration)
+                n = (duration * sample_rate) // 1000
+                payload = bytes(row["payload"])
+                seed = int.from_bytes(
+                    hashlib.sha256(payload).digest()[8:12], "little"
+                )
+                wave = np.random.RandomState(seed).standard_normal(n)
+                rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.diff(np.signbit(wave)) != 0)) if n > 1 else 0.0
+                )
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": sample_rate,
+                        "n_samples": n,
+                        "rms": round(rms, 6),
+                        "zcr": round(zcr, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "rms", "zcr"],
+            )
+
+    return df.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(
+        stage,
+        "media_id string, sample_rate int, n_samples long, rms double, zcr double",
+    )
+
+
 def sample_frames(
     df: DataFrame, *, every_ms: int = 1000, strict: bool = False
 ) -> DataFrame:
@@ -340,6 +395,25 @@ FROM documents
 """
 
 
+def media_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every synthetic audio payload; the sample-count grid
+    (duration model × sample rate) is the oracle-checked surface, the
+    waveform stats are rows-only by nature."""
+    media = media_table_from_documents(spark, sf_dir)
+    return decode_audio(media, sample_rate=16000).select(
+        "media_id", "sample_rate", "n_samples"
+    )
+
+
+MEDIA_AUDIO_SAMPLES_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST((({_DUR_BASE} + n_chars % {_DUR_MOD}) * 16000) // 1000 AS BIGINT)
+           AS n_samples
+FROM documents
+"""
+
+
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample frames at a fixed interval from every synthetic video;
     the (media_id, frame_idx, ts_ms) timing grid is the oracle-checked
@@ -375,6 +449,10 @@ def _specs():
         QuerySpec("media_feature_norms", media_feature_norms,
                   MEDIA_FEATURE_NORMS_SQL,
                   "payload → unit-norm feature vector contract",
+                  ("multimodal",)),
+        QuerySpec("media_audio_samples", media_audio_samples,
+                  MEDIA_AUDIO_SAMPLES_SQL,
+                  "audio decode: sample-count grid contract",
                   ("multimodal",)),
         QuerySpec("media_resize_shapes", media_resize_shapes,
                   MEDIA_RESIZE_SHAPES_SQL,

@@ -941,6 +941,76 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⋈ broadcast(part), CASE-filtered
+    revenue share of promo parts per ship year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = revenue()
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT YEAR(l_shipdate) AS ship_year,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_REVENUE}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_rev,
+       CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS total_rev,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, did signup → click → purchase happen
+    in event-time order? One shuffle on user_id; stage timestamps are
+    conditional MINs, the sequence test is plain comparisons."""
+    e = _t(spark, sf_dir, "events")
+    t_of = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        t_of("signup").alias("t_signup"),
+        t_of("click").alias("t_click"),
+        t_of("purchase").alias("t_purchase"),
+    )
+    converted = (
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_signup") <= F.col("t_click"))
+        & (F.col("t_click") <= F.col("t_purchase"))
+    )
+    return per_user.select(
+        "user_id", converted.cast("int").alias("converted")
+    )
+
+
+USER_FUNNEL_SQL = """
+SELECT user_id,
+       CAST(t_signup IS NOT NULL AND t_click IS NOT NULL
+            AND t_purchase IS NOT NULL
+            AND t_signup <= t_click AND t_click <= t_purchase
+            AS INT) AS converted
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+"""
+
+
 def scalar_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map function library over constructed collections: build
     per-row arrays from scalar columns, then sort/slice/filter/reduce
@@ -1013,6 +1083,12 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS_STATS = [
+    QuerySpec("promo_revenue", promo_revenue, PROMO_REVENUE_SQL,
+              "fact ⋈ broadcast(part) CASE-revenue (TPC-H Q14 shape)",
+              ("join", "agg")),
+    QuerySpec("user_funnel", user_funnel, USER_FUNNEL_SQL,
+              "ordered signup→click→purchase funnel per user",
+              ("events", "agg")),
     QuerySpec("scalar_array_map_funcs", scalar_array_map_funcs,
               SCALAR_ARRAY_MAP_FUNCS_SQL,
               "array construction/sort/filter/reduce library", ("scalar",)),
