@@ -162,6 +162,31 @@ def append_just_copy(
     append_table(projected, table_name, catalog=catalog, schema=schema)
 
 
+def write_range_layout(
+    df: DataFrame,
+    table_name: str,
+    *,
+    range_col: str,
+    n_files: int = 16,
+    catalog: str | None = None,
+    schema: str | None = None,
+) -> None:
+    """Write with a range-clustered file layout: rows range-partitioned
+    then sorted on ``range_col``, so every parquet file covers a
+    disjoint value range. Readers filtering on that column skip whole
+    files via row-group min/max stats — the sort-key analog of
+    partition pruning, without the directory explosion of
+    ``partitionBy`` on a high-cardinality column.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(range_col))
+        .sortWithinPartitions(range_col)
+        .write.format(TABLE_FORMAT)
+        .mode("overwrite")
+        .saveAsTable(qualified(table_name, catalog, schema))
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     source: DataFrame,

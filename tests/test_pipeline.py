@@ -290,3 +290,39 @@ def test_bad_batch_logged_not_fatal(spark, remote_dir, tmp_path):
     assert summary["valid_rows"] == 2
     assert summary["failed_batches"] == 1
     assert spark.table("mixed_batch_tbl").count() == 2
+
+
+def test_range_layout_files_cover_disjoint_ranges(spark):
+    """write_range_layout: parquet footers show disjoint min/max per
+    file on the range column — the property file-skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_tool_spark.sinks.tables import write_range_layout
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_range_layout(o, "orders_ranged", range_col="o_orderkey", n_files=4)
+    tbl_dir = (
+        spark.sql("DESCRIBE TABLE EXTENDED orders_ranged")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    ranges = []
+    for f in glob.glob(f"{tbl_dir}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        cols = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        idx = cols["o_orderkey"]
+        lo = min(meta.row_group(g).column(idx).statistics.min
+                 for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(idx).statistics.max
+                 for g in range(meta.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary may touch)
