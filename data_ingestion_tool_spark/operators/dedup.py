@@ -307,6 +307,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, *, max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list →
+    (id, canonical_id) where canonical is the component's min id.
+
+    The iterative Spark pattern done right: each round is one
+    groupBy-min over the (undirected) adjacency join, the frontier is
+    ``localCheckpoint``-ed so lineage doesn't grow unboundedly, and the
+    loop exits on a converged count. Near-dup clusters are shallow
+    (diameter ≪ 20), so rounds ≈ cluster diameter, not |V|.
+
+    vertices: one column ``id``; edges: columns ``src``, ``dst``.
+    """
+    labels = vertices.select(
+        F.col("id"), F.col("id").alias("canonical")
+    ).localCheckpoint(eager=True)
+    undirected = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            undirected.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("canonical").alias("nc")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("nc").alias("neighbor_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "canonical", F.coalesce("neighbor_min", "canonical")
+                ).alias("canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("canonical", "old"), "id")
+            .filter(F.col("canonical") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: each document mapped to its cluster's
+    canonical (min) doc_id — the keep-one-representative step of a
+    dedup pipeline. Output covers only docs in some near-dup pair
+    (singletons are trivially their own canonical).
+
+    Iterative (non-SQL-expressible) → rows-only driver check; cluster
+    invariants verified in tests against a union-find oracle.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components(vertices, edges).select(
+        F.col("id").alias("doc_id"), F.col("canonical").alias("canonical_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -395,4 +475,7 @@ SPECS: list[QuerySpec] = [
               "near-dup pairs via MinHash banding + exact verify", ("dedup",)),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "near-dup pairs via SimHash band blocking", ("dedup",)),
+    QuerySpec("dedup_near_clusters", dedup_near_clusters, None,
+              "near-dup clusters via iterative connected components",
+              ("dedup",)),
 ]

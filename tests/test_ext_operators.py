@@ -125,6 +125,32 @@ def test_merge_upsert_idempotent_reingest(spark):
     assert again == got
 
 
+def test_near_dup_clusters_match_union_find(spark, exact_pairs):
+    """Connected components agree with a driver-side union-find oracle
+    over the same pair set."""
+    from data_ingestion_tool_spark.operators.dedup import dedup_near_clusters
+
+    got = {
+        r["doc_id"]: r["canonical_doc_id"]
+        for r in dedup_near_clusters(spark, SF_CORRECT).collect()
+    }
+    # union-find oracle
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
 def test_stratified_sample_rates(spark):
     """sampleBy hits each stratum's fraction within Bernoulli noise."""
     from data_ingestion_tool_spark.operators.relational import (
