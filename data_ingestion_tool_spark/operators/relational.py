@@ -941,6 +941,62 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + counting over text (beyond rlike):
+    first number-like token and occurrences of a word per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)_?(\d+)?", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"\bvalue\b")).alias("n_value"),
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace"),
+    )
+
+
+SCALAR_REGEX_EXTRACT_SQL = r"""
+SELECT doc_id,
+       COALESCE(regexp_extract(text, '([a-z]+)_?(\d+)?', 1), '') AS first_word,
+       len(regexp_extract_all(text, '\bvalue\b')) AS n_value,
+       length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+FROM documents
+"""
+
+
+def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated dimension (no source scan): a day-level calendar from
+    the orders date span — sequence + explode, the generator the
+    engine uses to build date/number dims without ingesting one."""
+    o = _t(spark, sf_dir, "orders")
+    span = o.select(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    return (
+        span.select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+        )
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("day"),
+            F.year("d").alias("year"),
+            F.month("d").alias("month"),
+            F.dayofweek("d").alias("dow"),
+        )
+    )
+
+
+CALENDAR_DIM_SQL = """
+WITH span AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       YEAR(d) AS year,
+       MONTH(d) AS month,
+       DAYOFWEEK(d) + 1 AS dow
+FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM span)
+"""
+
+
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: lineitem ⋈ broadcast(part), CASE-filtered
     revenue share of promo parts per ship year."""
@@ -1083,6 +1139,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS_STATS = [
+    QuerySpec("scalar_regex_extract", scalar_regex_extract,
+              SCALAR_REGEX_EXTRACT_SQL,
+              "regex group extraction/count/replace", ("scalar", "text")),
+    QuerySpec("calendar_dim", calendar_dim, CALENDAR_DIM_SQL,
+              "generated day-level calendar dimension", ("scalar",)),
     QuerySpec("promo_revenue", promo_revenue, PROMO_REVENUE_SQL,
               "fact ⋈ broadcast(part) CASE-revenue (TPC-H Q14 shape)",
               ("join", "agg")),
