@@ -406,6 +406,71 @@ def label_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label outlier detection: vectors whose cosine distance to
+    their label centroid exceeds mean + 2σ — the embedding-space
+    quality filter of a training pipeline (drop mislabeled/degenerate
+    points).
+
+    Two grouped passes, no collection: centroids via applyInPandas
+    (one group in memory at a time), then a broadcast of the tiny
+    centroid table scores every vector batch in BLAS. Rows-only check
+    (float threshold boundary is engine-specific); invariants tested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = m.mean(axis=0)
+        c = c / np.linalg.norm(c)
+        return pd.DataFrame(
+            {"label": [int(pdf["label"].iloc[0])], "centroid": [c.tolist()]}
+        )
+
+    centroids = (
+        emb.groupBy("label")
+        .applyInPandas(centroid, "label int, centroid array<double>")
+        .toPandas()
+    )
+    cent_map = {
+        int(r["label"]): np.asarray(r["centroid"]) for _, r in centroids.iterrows()
+    }
+    bc = spark.sparkContext.broadcast(cent_map)
+
+    def score(batches):
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            labels = pdf["label"].to_numpy()
+            dists = np.array(
+                [1.0 - float(v @ cents[int(lb)]) for v, lb in zip(m, labels)]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "label": labels,
+                    "dist": dists,
+                }
+            )
+
+    scored = emb.mapInPandas(score, "vec_id long, label int, dist double")
+    stats = scored.groupBy("label").agg(
+        F.mean("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .filter(F.col("dist") > F.col("mu") + 2 * F.col("sigma"))
+        .select("vec_id", "label")
+    )
+
+
 def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector aggregation: centroid → mean member distance.
     Shows array aggregation staying JVM-side (zip_with inside agg)."""
@@ -439,5 +504,8 @@ SPECS: list[QuerySpec] = [
               "per-label centroid aggregation", ("similarity",)),
     QuerySpec("label_top_eigenvalue", label_top_eigenvalue, None,
               "per-group eigendecomposition via applyInPandas",
+              ("similarity",)),
+    QuerySpec("embedding_outliers", embedding_outliers, None,
+              "per-label centroid-distance outliers (mean + 2 sigma)",
               ("similarity",)),
 ]

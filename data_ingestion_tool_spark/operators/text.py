@@ -282,6 +282,34 @@ SELECT doc_id, term, rank FROM (
 """
 
 
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-dedup/pre-fingerprint
+    step): lowercase, strip punctuation, collapse whitespace, trim —
+    all JVM-side regexp/string expressions, with the canonical form's
+    fingerprint alongside."""
+    d = _docs(spark, sf_dir)
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(canon).alias("n_canon_chars"),
+        F.md5(canon).alias("canon_fingerprint"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                  '\s+', ' ', 'g'))) AS n_canon_chars,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS canon_fingerprint
+FROM documents
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via a Python UDTF (the generator/table-function
     surface): each document expands to fixed-size token chunks with
@@ -382,6 +410,9 @@ GROUP BY source
 SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "exact TF-IDF top-3 terms per document", ("text",)),
+    QuerySpec("normalize_text", normalize_text, NORMALIZE_TEXT_SQL,
+              "canonical normalization + fingerprint (pre-dedup step)",
+              ("text", "dedup")),
     QuerySpec("doc_chunks", doc_chunks, DOC_CHUNKS_SQL,
               "Python UDTF document chunking (lateral table function)",
               ("text",)),

