@@ -406,6 +406,72 @@ def label_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRID_BLOCKS = 4
+
+
+def embedding_near_dup_blocked(
+    spark: SparkSession, sf_dir: str, *, n_blocks: int = _GRID_BLOCKS
+) -> DataFrame:
+    """Grid-blocked exact all-pairs cosine ≥ threshold — the 100 TB
+    path when NEITHER side fits a broadcast.
+
+    Rows are hashed into ``n_blocks`` row-blocks; every unordered
+    block pair (i ≤ j) becomes one task group: each row is replicated
+    to the ``n_blocks`` pairs it participates in (explode — a
+    bounded-factor shuffle, no broadcast), then ``applyInPandas``
+    runs one BLAS kernel per block pair (triangle within a diagonal
+    block, full rectangle across blocks). Choose ``n_blocks`` so two
+    blocks fit executor memory: total work is the same O(n²d) flops
+    as the broadcast kernel, spread over n_blocks·(n_blocks+1)/2
+    independent tasks.
+
+    Output contract identical to embedding_near_dup; exact, so it
+    shares the broadcast kernel's DuckDB oracle, and kernel-vs-kernel
+    equality is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    pair_structs = [
+        F.struct(
+            F.least(blk, F.lit(o)).alias("bi"),
+            F.greatest(blk, F.lit(o)).alias("bj"),
+        )
+        for o in range(n_blocks)
+    ]
+    exploded = emb.withColumn("pair", F.explode(F.array(*pair_structs))).select(
+        F.col("pair.bi").alias("bi"), F.col("pair.bj").alias("bj"),
+        "vec_id", "embedding",
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        m = m / norms
+        side_i = (ids % n_blocks) == bi
+        if bi == bj:
+            scores = m @ m.T
+            ia, ib = np.nonzero(scores >= NEAR_DUP_COSINE)
+            keep = ids[ia] < ids[ib]
+            return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep]})
+        mi, ii = m[side_i], ids[side_i]
+        mj, jj = m[~side_i], ids[~side_i]
+        scores = mi @ mj.T
+        ia, ib = np.nonzero(scores >= NEAR_DUP_COSINE)
+        a, b = ii[ia], jj[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, "id_a long, id_b long"
+    )
+
+
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label outlier detection: vectors whose cosine distance to
     their label centroid exceeds mean + 2σ — the embedding-space
@@ -508,4 +574,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("embedding_outliers", embedding_outliers, None,
               "per-label centroid-distance outliers (mean + 2 sigma)",
               ("similarity",)),
+    QuerySpec("embedding_near_dup_blocked", embedding_near_dup_blocked,
+              EMBEDDING_NEAR_DUP_SQL,
+              "grid-blocked all-pairs cosine (no-broadcast scale path)",
+              ("similarity", "dedup")),
 ]

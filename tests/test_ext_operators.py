@@ -151,6 +151,20 @@ def test_near_dup_clusters_match_union_find(spark, exact_pairs):
     assert got == expected
 
 
+def test_blocked_near_dup_equals_broadcast_kernel(spark):
+    """The grid-blocked (no-broadcast) all-pairs kernel emits exactly
+    the broadcast kernel's pair set."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_blocked,
+    )
+
+    a = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(spark, SF_CORRECT).collect()}
+    b = {(r["id_a"], r["id_b"])
+         for r in embedding_near_dup_blocked(spark, SF_CORRECT).collect()}
+    assert a == b and a
+
+
 def test_embedding_outliers_are_sparse_and_far(spark):
     """Outliers: a small tail (2σ rule ⇒ well under 10%), every flagged
     vector strictly farther than its label's mean distance."""
