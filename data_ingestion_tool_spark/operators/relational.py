@@ -941,6 +941,67 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def scalar_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via VariantType (Spark 4): parse once into the
+    binary variant encoding, then typed path extraction — the scale
+    path for JSON-heavy tables (parse_json amortizes; repeated
+    get_json_object re-parses the string per call)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+SCALAR_VARIANT_EVENTS_SQL = """
+SELECT event_type,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function library: construct, merge, filter, and
+    introspect maps built from scalar columns; outputs flattened to
+    scalars for cross-engine comparison."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("priority"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), "|").alias("vals"),
+        F.size(F.map_filter(m, lambda k, v: v.startswith("1"))).alias(
+            "n_urgentish"
+        ),
+        F.element_at(m, "status").alias("status"),
+    )
+
+
+SCALAR_MAP_FUNCS_SQL = """
+SELECT o_orderkey,
+       'status,priority' AS keys,
+       o_orderstatus || '|' || o_orderpriority AS vals,
+       CAST(o_orderstatus LIKE '1%' AS INT)
+         + CAST(o_orderpriority LIKE '1%' AS INT) AS n_urgentish,
+       o_orderstatus AS status
+FROM orders WHERE o_orderkey < 500
+"""
+
+
 def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex group extraction + counting over text (beyond rlike):
     first number-like token and occurrences of a word per document."""
@@ -1142,6 +1203,12 @@ SPECS_STATS = [
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
+    QuerySpec("scalar_variant_events", scalar_variant_events,
+              SCALAR_VARIANT_EVENTS_SQL,
+              "VariantType semi-structured extraction (parse once)",
+              ("scalar",)),
+    QuerySpec("scalar_map_funcs", scalar_map_funcs, SCALAR_MAP_FUNCS_SQL,
+              "map construct/merge/filter/introspect library", ("scalar",)),
     QuerySpec("calendar_dim", calendar_dim, CALENDAR_DIM_SQL,
               "generated day-level calendar dimension", ("scalar",)),
     QuerySpec("promo_revenue", promo_revenue, PROMO_REVENUE_SQL,
