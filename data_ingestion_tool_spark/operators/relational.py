@@ -941,6 +941,73 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def set_union_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — duplicates kept), counted per key so
+    the duplicate multiplicity is value-checked."""
+    c = _t(spark, sf_dir, "customer")
+    hi_bal = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        hi_bal.unionAll(building)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+SET_UNION_ALL_CUSTOMERS_SQL = """
+SELECT c_custkey, COUNT(*) AS multiplicity FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) GROUP BY c_custkey
+"""
+
+
+def orders_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries through the SQL entry point — Catalyst
+    rewrites to semi/anti joins; NOT IN carries the null-aware twist."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_inq")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_inq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders_inq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_inq
+                            WHERE c_acctbal > 9000)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM orders_inq
+                                 WHERE o_orderstatus = 'P')
+        """
+    )
+
+
+ORDERS_IN_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
+def null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULLIF-produced
+    nulls compared without three-valued-logic surprises."""
+    o = _t(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    b = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return o.groupBy(
+        a.eqNullSafe(F.lit("F")).alias("status_is_f"),
+        b.isNull().alias("urgent_nulled"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+NULL_SAFE_COMPARE_SQL = """
+SELECT NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS status_is_f,
+       NULLIF(o_orderpriority, '1-URGENT') IS NULL AS urgent_nulled,
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
 def scalar_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured via VariantType (Spark 4): parse once into the
     binary variant encoding, then typed path extraction — the scale
@@ -1203,6 +1270,14 @@ SPECS_STATS = [
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
+    QuerySpec("set_union_all_customers", set_union_all_customers,
+              SET_UNION_ALL_CUSTOMERS_SQL,
+              "UNION ALL bag semantics with multiplicity check", ("setop",)),
+    QuerySpec("orders_in_subquery", orders_in_subquery,
+              ORDERS_IN_SUBQUERY_SQL,
+              "IN / null-aware NOT IN subqueries", ("join",)),
+    QuerySpec("null_safe_compare", null_safe_compare, NULL_SAFE_COMPARE_SQL,
+              "null-safe equality (IS NOT DISTINCT FROM)", ("scalar",)),
     QuerySpec("scalar_variant_events", scalar_variant_events,
               SCALAR_VARIANT_EVENTS_SQL,
               "VariantType semi-structured extraction (parse once)",
