@@ -941,6 +941,23 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def orders_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global ORDER BY (no limit): range-partitioned sort — the
+    sampled-boundaries Exchange that keeps a total order distributed
+    (contrast with top-k's TakeOrderedAndProject). Total order made
+    deterministic with the unique key as tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), "o_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+ORDERS_GLOBAL_SORT_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
 def set_union_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL (bag semantics — duplicates kept), counted per key so
     the duplicate multiplicity is value-checked."""
@@ -1270,6 +1287,9 @@ SPECS_STATS = [
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
+    QuerySpec("orders_global_sort", orders_global_sort,
+              ORDERS_GLOBAL_SORT_SQL,
+              "full global ORDER BY (range-partitioned sort)", ("sort",)),
     QuerySpec("set_union_all_customers", set_union_all_customers,
               SET_UNION_ALL_CUSTOMERS_SQL,
               "UNION ALL bag semantics with multiplicity check", ("setop",)),
