@@ -941,6 +941,32 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group (the
+    ordered-set aggregate family; contrast agg_quantiles' discrete
+    window-position variant). Rounded to absorb interpolation-formula
+    1-ulp differences across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(
+            F.percentile("o_totalprice", F.lit(0.25)), 4
+        ).alias("p25_price"),
+        F.round(
+            F.percentile("o_totalprice", F.lit(0.75)), 4
+        ).alias("p75_price"),
+    )
+
+
+AGG_MEDIAN_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def orders_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full global ORDER BY (no limit): range-partitioned sort — the
     sampled-boundaries Exchange that keeps a total order distributed
@@ -1287,6 +1313,9 @@ SPECS_STATS = [
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
+    QuerySpec("agg_median_percentiles", agg_median_percentiles,
+              AGG_MEDIAN_PERCENTILES_SQL,
+              "exact interpolated percentiles + median", ("agg",)),
     QuerySpec("orders_global_sort", orders_global_sort,
               ORDERS_GLOBAL_SORT_SQL,
               "full global ORDER BY (range-partitioned sort)", ("sort",)),
