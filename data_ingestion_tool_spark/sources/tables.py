@@ -44,6 +44,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # The events table is written with TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects outright unless this legacy
+        # conf is on. It is a runtime-settable SQLConf, so set it here
+        # rather than at session build: callers (the external harness
+        # included) may hand us an arbitrary unconfigured SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # With spark.sql.legacy.parquet.nanosAsLong the TIMESTAMP(NANOS)

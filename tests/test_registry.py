@@ -1,0 +1,47 @@
+"""Registry contract: ordering pin and generated-doc freshness."""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+from data_ingestion_tool_spark.operators import _FRONT, registry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_front_window_is_exactly_50_and_leads_registry():
+    names = list(registry())
+    assert len(_FRONT) == 50
+    assert names[: len(_FRONT)] == _FRONT
+    assert len(set(names)) == len(names)
+
+
+def test_operators_md_matches_live_registry():
+    """OPERATORS.md is generated; its count must track the registry."""
+    with open(os.path.join(REPO, "OPERATORS.md")) as fh:
+        doc = fh.read()
+    m = re.search(r"(\d+) queries, (\d+) oracle-checked", doc)
+    assert m, "OPERATORS.md footer missing"
+    reg = registry()
+    n_oracle = sum(1 for s in reg.values() if s.oracle)
+    assert int(m.group(1)) == len(reg), "regenerate: python tools/gen_operators.py"
+    assert int(m.group(2)) == n_oracle, "regenerate: python tools/gen_operators.py"
+    for name in reg:
+        assert f"`{name}`" in doc
+
+
+def test_gen_operators_is_idempotent(tmp_path):
+    """Running the generator must not change the checked-in file."""
+    with open(os.path.join(REPO, "OPERATORS.md")) as fh:
+        before = fh.read()
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_operators.py")],
+        check=True,
+        capture_output=True,
+    )
+    with open(os.path.join(REPO, "OPERATORS.md")) as fh:
+        after = fh.read()
+    assert before == after

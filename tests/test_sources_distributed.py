@@ -57,3 +57,16 @@ def test_missing_engine_raises_helpfully(spark, tmp_path):
     p.write_bytes(b"PK\x03\x04 not really a workbook")
     with pytest.raises(ExcelEngineMissing, match="openpyxl"):
         read_excel(spark, str(p))
+
+def test_events_loads_on_unconfigured_session(spark):
+    """Regression: the external harness builds its own SparkSession
+    without spark.sql.legacy.parquet.nanosAsLong; load_table must set
+    it at runtime or the TIMESTAMP(NANOS) events parquet is unreadable
+    (PARQUET_TYPE_ILLEGAL)."""
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
