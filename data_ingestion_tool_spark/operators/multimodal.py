@@ -95,8 +95,9 @@ def decode_images(
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            # column zip, not iterrows: no per-row Series construction
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw)
                 arr = _try_real_image_decode(payload)
                 if arr is None:
                     if strict:
@@ -107,7 +108,7 @@ def decode_images(
                     arr = _fake_decode(payload, height, width)
                 rows.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "height": arr.shape[0],
                         "width": arr.shape[1],
                         "channels": arr.shape[2] if arr.ndim == 3 else 1,
@@ -137,14 +138,14 @@ def extract_features(df: DataFrame, dim: int = 64) -> DataFrame:
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw)
                 seed = int.from_bytes(
                     hashlib.sha256(payload).digest()[4:8], "little"
                 )
                 v = np.random.RandomState(seed).standard_normal(dim)
                 v = (v / np.linalg.norm(v)).astype(np.float32)
-                ids.append(row["media_id"])
+                ids.append(mid)
                 vecs.append(v.tolist())
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
@@ -172,8 +173,8 @@ def resize_images(
         xs = (np.arange(out_width) * src_width) // out_width
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw)
                 arr = _try_real_image_decode(payload)
                 if arr is None:
                     if strict:
@@ -185,7 +186,7 @@ def resize_images(
                 small = arr[np.ix_(ys, xs)]
                 rows.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "height": small.shape[0],
                         "width": small.shape[1],
                         "channels": small.shape[2] if small.ndim == 3 else 1,
@@ -218,16 +219,17 @@ def decode_audio(
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for mid, raw, raw_duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
                 if strict:
                     raise MediaCodecMissing(
                         "audio decoding requires soundfile/ffmpeg, not "
                         "installed in this environment"
                     )
-                raw_duration = row["duration_ms"]
                 duration = 3000 if pd.isna(raw_duration) else int(raw_duration)
                 n = (duration * sample_rate) // 1000
-                payload = bytes(row["payload"])
+                payload = bytes(raw)
                 seed = int.from_bytes(
                     hashlib.sha256(payload).digest()[8:12], "little"
                 )
@@ -238,7 +240,7 @@ def decode_audio(
                 )
                 rows.append(
                     {
-                        "media_id": row["media_id"],
+                        "media_id": mid,
                         "sample_rate": sample_rate,
                         "n_samples": n,
                         "rms": round(rms, 6),
@@ -268,20 +270,21 @@ def sample_frames(
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for mid, raw, raw_duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
                 if strict:
                     raise MediaCodecMissing(
                         "video frame sampling requires ffmpeg bindings, "
                         "not installed in this environment"
                     )
-                raw_duration = row["duration_ms"]
                 duration = 3000 if pd.isna(raw_duration) else raw_duration
-                payload = bytes(row["payload"])
+                payload = bytes(raw)
                 digest = hashlib.sha256(payload).hexdigest()
                 for i, ts in enumerate(range(0, int(duration), every_ms)):
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "ts_ms": ts,
                             "frame_ref": f"{digest[:16]}:{i}",

@@ -98,18 +98,26 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores = mc @ mq.T  # |batch| × |Q|
             scores[ids_c[:, None] == ids_q[None, :]] = -np.inf  # self
             k = min(TOP_K, len(ids_c))
-            top = np.argpartition(-scores, k - 1, axis=0)[:k]  # k × |Q|
-            out_q = np.repeat(ids_q[None, :], k, axis=0).ravel()
-            out_n = ids_c[top].ravel()
-            out_s = np.take_along_axis(scores, top, axis=0).ravel()
-            keep = np.isfinite(out_s)
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q[keep],
-                    "neighbor_id": out_n[keep],
-                    "score": out_s[keep],
-                }
-            )
+            # Per-batch winners must use the SAME lexicographic key as
+            # the global window and the oracle — (score desc, id asc) —
+            # or exactly-tied scores (duplicate embeddings) can drop
+            # the smaller-id neighbor the oracle ranks.
+            parts = []
+            for j, qid in enumerate(ids_q):
+                col = scores[:, j]
+                order = np.lexsort((ids_c, -col))[:k]
+                sel = order[np.isfinite(col[order])]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, np.int64),
+                            "neighbor_id": ids_c[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     partial = emb.mapInPandas(
         stage, "query_id long, neighbor_id long, score double"
@@ -206,16 +214,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NCENTROIDS = 16
 _IVF_NPROBE = 4
 _IVF_KMEANS_ITERS = 5
+#: Hard cap on vectors collected to the driver for k-means training.
+_IVF_TRAIN_MAX = 4096
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the
     coarse-quantizer scale path next to the LSH variant.
 
-    1. **Train** (driver, constant cost): a deterministic sample of
-       vectors → spherical k-means (numpy, seeded, few Lloyd rounds)
-       → ``ncentroids`` unit centroids. At 100 TB the sample is a
-       vanishing fraction; training never touches the full data.
+    1. **Train** (driver, bounded cost): a FIXED-SIZE deterministic
+       sample — hash-ordered ``limit(_IVF_TRAIN_MAX)``, which Spark
+       plans as TakeOrderedAndProject (per-partition top-k, merged on
+       the driver) — feeds spherical k-means (numpy, seeded, few
+       Lloyd rounds) → ``ncentroids`` unit centroids. The driver
+       never holds more than ``_IVF_TRAIN_MAX`` vectors regardless of
+       table size.
     2. **Assign** (distributed): broadcast centroids; one BLAS argmax
        per Arrow batch tags every vector with its nearest list.
     3. **Probe**: each query scores all centroids (driver, tiny) and
@@ -239,14 +252,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n[n == 0.0] = 1.0
         return m / n
 
-    # --- train on a deterministic ~1/7 sample
-    sample_pdf = emb.filter(F.col("vec_id") % 7 == 0).toPandas()
+    # --- train on a bounded deterministic sample: hash-ordered limit
+    # is a TakeOrderedAndProject (per-partition top-k), never a
+    # proportional collect — the driver sees ≤ _IVF_TRAIN_MAX rows at
+    # any table size.
+    sample_pdf = (
+        emb.orderBy(F.xxhash64("vec_id")).limit(_IVF_TRAIN_MAX).toPandas()
+    )
     sample = _unit(np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(42)
-    centroids = sample[rng.choice(len(sample), _IVF_NCENTROIDS, replace=False)]
+    n_cent = min(_IVF_NCENTROIDS, len(sample))
+    centroids = sample[rng.choice(len(sample), n_cent, replace=False)]
     for _ in range(_IVF_KMEANS_ITERS):
         assign = (sample @ centroids.T).argmax(axis=1)
-        for c in range(_IVF_NCENTROIDS):
+        for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)

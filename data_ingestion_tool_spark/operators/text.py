@@ -234,7 +234,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded vocabulary. Deterministic tie-break: (score desc, term).
     """
     d = _docs(spark, sf_dir)
-    n_docs = d.count()
+    # n_docs as a broadcast 1-row aggregate INSIDE the plan — no
+    # separate driver-side count() job
+    ndocs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = d.select("doc_id", F.explode(_tokens()).alias("term"))
     # doclen and dfreq both re-aggregate tf — the raw token table is
     # exploded and shuffled exactly once
@@ -246,7 +248,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     doclen = tf.groupBy("doc_id").agg(F.sum("k").alias("len"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = (F.col("k").cast("double") / F.col("len")) * F.log(
-        F.lit(float(n_docs)) / F.col("df")
+        F.col("n_docs") / F.col("df")
     )
     from pyspark.sql import Window
 
@@ -254,6 +256,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)

@@ -16,6 +16,10 @@ Differences from the reference, by design:
   no per-action SQL INSERT, no injection surface (box_ingest.py:13-20)
 - export failures raise (the reference swallows the Excel error and
   then fails confusingly on upload — box_export.py:47-48, :66)
+- export uploads carry an extension matching the bytes: .xlsx like the
+  reference's f"{file_name}.xlsx" (box_export.py:81), but .csv when the
+  CSV fallback engaged; a caller-supplied .xlsx/.csv suffix is replaced
+  rather than doubled
 """
 
 from __future__ import annotations
@@ -178,13 +182,24 @@ def execute_export(
                 sheet_name=sheet_name,
                 column_mapping=column_mapping,
             )
+            ext = ".xlsx"
         except ExcelEngineMissing:
             if not allow_csv_fallback:
                 raise
             n = export_to_csv(df, tmp_path, column_mapping=column_mapping)
-        audit.log("Exported data", f"{file_name} ({n} rows)")
-        connector.upload(folder_id, file_name, tmp_path)
-        audit.log("Uploaded file", f"{folder_id}/{file_name}")
+            ext = ".csv"
+        # Reference uploads f"{file_name}.xlsx" (box_export.py:81);
+        # mirror that, but name the bytes honestly: when the CSV
+        # fallback engaged, a caller-supplied .xlsx name becomes .csv.
+        base = file_name
+        for known in (".xlsx", ".csv"):
+            if base.lower().endswith(known):
+                base = base[: -len(known)]
+                break
+        remote_name = base + ext
+        audit.log("Exported data", f"{remote_name} ({n} rows)")
+        connector.upload(folder_id, remote_name, tmp_path)
+        audit.log("Uploaded file", f"{folder_id}/{remote_name}")
         return n
     except Exception as exc:
         audit.log("Export failed", str(exc))

@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 def expand_zips(paths: list[str], extract_root: str | None = None) -> list[str]:
     """Replace every .zip in ``paths`` with its (recursively) extracted
-    member files; non-zip paths pass through unchanged."""
+    member files; non-zip paths pass through unchanged.
+
+    Each archive extracts into its OWN subdirectory and only that
+    subdirectory is walked — with a shared ``extract_root`` a
+    whole-root re-walk would re-enqueue every previously extracted
+    member once per archive, duplicating ingested rows."""
+    import hashlib
+
     out: list[str] = []
     worklist = list(paths)
     while worklist:
@@ -33,7 +40,11 @@ def expand_zips(paths: list[str], extract_root: str | None = None) -> list[str]:
         if not path.lower().endswith(".zip"):
             out.append(path)
             continue
-        root = extract_root or (path + ".extracted")
+        if extract_root:
+            tag = hashlib.sha256(path.encode()).hexdigest()[:16]
+            root = os.path.join(extract_root, tag)
+        else:
+            root = path + ".extracted"
         os.makedirs(root, exist_ok=True)
         with zipfile.ZipFile(path) as zf:
             zf.extractall(root)
@@ -59,14 +70,14 @@ def binary_members(spark: SparkSession, zip_glob: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
+            for apath, blob in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                     for info in zf.infolist():
                         if info.is_dir():
                             continue
                         rows.append(
                             {
-                                "archive": row["path"],
+                                "archive": apath,
                                 "member": info.filename,
                                 "member_size": info.file_size,
                                 "content": zf.read(info),

@@ -79,8 +79,8 @@ def read_excel(
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                out = parser(row["content"], sheet_name, skip_rows)
+            for blob in pdf["content"]:
+                out = parser(blob, sheet_name, skip_rows)
                 out.columns = [str(c).strip() for c in out.columns]
                 yield out
 

@@ -214,7 +214,9 @@ def test_export_csv_fallback_roundtrip(spark, remote_dir, tmp_path):
         allow_csv_fallback=True,
     )
     assert n == 2
-    out = pd.read_csv(os.path.join(remote_dir, "out.xlsx"))
+    # CSV-fallback bytes are uploaded under an honest .csv name even
+    # though the caller asked for out.xlsx (documented deviation)
+    out = pd.read_csv(os.path.join(remote_dir, "out.csv"))
     assert list(out.columns) == ["k", "Return Flag"]
 
 
