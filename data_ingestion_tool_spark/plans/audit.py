@@ -27,6 +27,9 @@ class PlanReport:
     exchanges: int = 0
     map_in_pandas: int = 0
     window_group_limits: int = 0
+    generates: int = 0
+    broadcast_exchanges: int = 0
+    grouped_pandas: int = 0
 
 
 def plan_report(df: DataFrame) -> PlanReport:
@@ -53,6 +56,9 @@ def plan_report(df: DataFrame) -> PlanReport:
     rep.exchanges = nodes("Exchange")
     rep.map_in_pandas = nodes("MapInPandas")
     rep.window_group_limits = nodes("WindowGroupLimit")
+    rep.generates = nodes("Generate")
+    rep.broadcast_exchanges = nodes("BroadcastExchange")
+    rep.grouped_pandas = nodes("FlatMapGroupsInPandas")
     return rep
 
 

@@ -43,3 +43,42 @@ def test_approx_distinct_within_hll_error(spark):
     )
     for r in both.collect():
         assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"] + 1
+
+
+# Every oracle-checked query that reads the events table (the six
+# round-1 driver failures plus the event-window tier).
+EVENTS_QUERIES = sorted(
+    n
+    for n in (
+        "asof_last_event",
+        "explode_event_props",
+        "scalar_json_events",
+        "scalar_variant_events",
+        "user_funnel",
+        "purchases_after_clicks",
+        "tumbling_hourly",
+        "sliding_hourly",
+        "session_windows",
+        "top_purchasers",
+        "dedup_first_event",
+    )
+    if REG[n].oracle is not None
+)
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_events_queries_match_oracle_at_sf01(spark, name):
+    """The six round-1-failing events queries (nanos parquet) verified
+    at sf0.1 as well — the driver gates sf0.01 only."""
+    from tests.conftest import make_duck
+
+    spec = REG[name]
+    sdf = spec.builder(spark, "/root/testdata/sf0.1")
+    con = make_duck("/root/testdata/sf0.1")
+    try:
+        ddf = con.execute(spec.oracle).df()
+    finally:
+        pass
+    problems = compare(sdf, ddf)
+    con.close()
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)

@@ -54,3 +54,60 @@ def test_python_only_at_declared_edges(spark):
     # the vector kernel IS a declared Python edge
     rep = plan_report(REG["embedding_near_dup"].builder(spark, SF_CORRECT))
     assert rep.map_in_pandas == 1
+
+
+def test_minhash_lsh_is_bucketed_not_all_pairs(spark):
+    """The LSH claim: candidate pairs come from banded-signature
+    equi-joins, never from a cartesian/nested-loop enumeration, and
+    everything stays JVM-side."""
+    df = REG["dedup_minhash_lsh"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.nested_loop_joins == 0
+    assert rep.map_in_pandas == 0
+
+
+def test_blocked_near_dup_has_no_broadcast_and_one_shuffle(spark):
+    """The no-broadcast scale path: one explode (bounded replication),
+    one shuffle (the block-pair groupBy), zero broadcast of any side,
+    and the BLAS kernel as the single grouped-pandas stage."""
+    df = REG["embedding_near_dup_blocked"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.broadcast_exchanges == 0
+    assert rep.broadcast_hash_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges == 1
+    assert rep.generates == 1
+    assert rep.grouped_pandas == 1
+
+
+def test_blocked_near_dup_replication_factor_is_n_blocks(spark):
+    """Each row is replicated to exactly n_blocks block pairs (the
+    bounded explode factor the docstring promises)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _GRID_BLOCKS,
+        embedding_near_dup_blocked,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    n_rows = load_table(spark, SF_CORRECT, "embeddings").count()
+    df = embedding_near_dup_blocked(spark, SF_CORRECT)
+    # the Generate input feeds groupBy(bi,bj); count exploded rows via
+    # the same pair-struct expression the operator builds
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    blk = F.pmod(F.col("vec_id"), F.lit(_GRID_BLOCKS))
+    pairs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.least(blk, F.lit(o)).alias("bi"),
+                    F.greatest(blk, F.lit(o)).alias("bj"),
+                )
+                for o in range(_GRID_BLOCKS)
+            ]
+        )
+    )
+    exploded = emb.select(F.explode(pairs)).count()
+    assert exploded == n_rows * _GRID_BLOCKS
+    assert df.count() >= 0
