@@ -46,11 +46,11 @@ def export_to_excel(
         )
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise ExcelEngineMissing(
-            "writing .xlsx requires the 'openpyxl' package, which is not "
-            "installed in this environment"
-        ) from exc
+    except ImportError:
+        from data_ingestion_tool_spark.xlsx_lite import write_xlsx
+
+        write_xlsx(pdf, path, sheet_name=sheet_name or "Sheet1")
+        return len(pdf)
     if sheet_name:
         pdf.to_excel(path, sheet_name=sheet_name, index=False)
     else:

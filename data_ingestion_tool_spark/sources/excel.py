@@ -11,10 +11,11 @@ driver — box_ingest.py:152-156). Two paths, both behind one function:
   ``pd.read_excel`` → ``createDataFrame`` for the single-small-file
   case.
 
-Both require an Excel engine (openpyxl). This container ships none, so
-parsing raises :class:`ExcelEngineMissing` with guidance; all Spark
-plumbing (schema handling, Arrow batching, sheet/skiprows options) is
-real and unit-tested via a monkeypatched parser.
+Engine selection: openpyxl via ``pd.read_excel`` when importable (full
+fidelity), else the vendored stdlib parser
+(:mod:`data_ingestion_tool_spark.xlsx_lite`) — the Excel path is real
+bytes-in end-to-end either way. Unparseable bytes raise
+:class:`~data_ingestion_tool_spark.xlsx_lite.XlsxFormatError`.
 """
 
 from __future__ import annotations
@@ -24,9 +25,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from data_ingestion_tool_spark.xlsx_lite import XlsxFormatError, parse_xlsx
+
 
 class ExcelEngineMissing(NotImplementedError):
-    pass
+    """Kept for callers that inject engines; the built-in path always
+    has the stdlib fallback available."""
 
 
 def _parse_workbook(
@@ -38,11 +42,8 @@ def _parse_workbook(
 
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise ExcelEngineMissing(
-            "reading .xlsx/.xlsm requires the 'openpyxl' package, which "
-            "is not installed in this environment"
-        ) from exc
+    except ImportError:
+        return parse_xlsx(content, sheet_name, skip_rows)
     kwargs: dict = {"skiprows": skip_rows}
     if sheet_name:
         kwargs["sheet_name"] = sheet_name

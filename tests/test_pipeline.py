@@ -199,7 +199,11 @@ def test_audit_log_quote_safe(spark):
     assert row["task_owner"] == "o'brien; DROP TABLE x--"
 
 
-def test_export_csv_fallback_roundtrip(spark, remote_dir, tmp_path):
+def test_export_uploads_real_xlsx(spark, remote_dir, tmp_path):
+    """With the stdlib xlsx engine always available, export produces a
+    genuine workbook under the .xlsx name (CSV fallback never engages)."""
+    from data_ingestion_tool_spark.xlsx_lite import parse_xlsx
+
     spark.createDataFrame(
         [(1, "F"), (2, "O")], "k int, l_returnflag string"
     ).createOrReplaceTempView("export_src")
@@ -214,10 +218,11 @@ def test_export_csv_fallback_roundtrip(spark, remote_dir, tmp_path):
         allow_csv_fallback=True,
     )
     assert n == 2
-    # CSV-fallback bytes are uploaded under an honest .csv name even
-    # though the caller asked for out.xlsx (documented deviation)
-    out = pd.read_csv(os.path.join(remote_dir, "out.csv"))
+    out = parse_xlsx(
+        open(os.path.join(remote_dir, "out.xlsx"), "rb").read()
+    )
     assert list(out.columns) == ["k", "Return Flag"]
+    assert list(out["Return Flag"]) == ["F", "O"]
 
 
 def test_select_files_regex_anchored():
@@ -328,3 +333,45 @@ def test_range_layout_files_cover_disjoint_ranges(spark):
     assert len(ranges) >= 2
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # disjoint (boundary may touch)
+
+
+def test_ingest_real_xlsx_validate_mode(spark, remote_dir, tmp_path):
+    """Full ingest of a REAL workbook through the default parser chain
+    (stdlib xlsx engine — no openpyxl, no injected parser): junk header
+    row skipped, sheet selected by name, validation split applied."""
+    import io
+
+    import pandas as _pd
+
+    from data_ingestion_tool_spark.xlsx_lite import write_xlsx
+
+    # workbook whose first row is junk ("a,b,c" headers) and second row
+    # is the real header — exercises skip_rows=1
+    rows = _pd.DataFrame(
+        {
+            "a": ["id", "1", "2", "4"],
+            "b": ["name", "ax", "bx", "cx"],
+            "c": ["amount", "1.5", "oops", "3.0"],
+        }
+    )
+    buf = io.BytesIO()
+    write_xlsx(rows, buf, sheet_name="Data")  # header row is "a,b,c" junk
+    with open(os.path.join(remote_dir, "book_1.xlsx"), "wb") as f:
+        f.write(buf.getvalue())
+    summary = execute_ingest(
+        "tester",
+        spark,
+        LocalFSConnector(),
+        "sales_xlsx",
+        remote_dir,
+        r"book_.*\.xlsx",
+        sheet_name="Data",
+        skip_rows=1,
+        metadata=METADATA,
+        just_copy=False,
+        work_dir=str(tmp_path / "workx"),
+    )
+    assert summary["valid_rows"] == 2
+    assert summary["invalid_rows"] == 1
+    main = spark.table("sales_xlsx")
+    assert sorted(r["id"] for r in main.select("id").collect()) == [1, 4]

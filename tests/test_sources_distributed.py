@@ -52,11 +52,37 @@ def test_read_excel_driver_fallback(spark, tmp_path):
     assert [tuple(r) for r in df.collect()] == [(5, "z")]
 
 
-def test_missing_engine_raises_helpfully(spark, tmp_path):
+def test_unparseable_workbook_raises_helpfully(spark, tmp_path):
+    from data_ingestion_tool_spark.xlsx_lite import XlsxFormatError
+
     p = tmp_path / "real.xlsx"
     p.write_bytes(b"PK\x03\x04 not really a workbook")
-    with pytest.raises(ExcelEngineMissing, match="openpyxl"):
+    with pytest.raises(XlsxFormatError, match="not a parseable xlsx"):
         read_excel(spark, str(p))
+
+
+def test_real_xlsx_end_to_end_without_injected_parser(spark, tmp_path):
+    """REAL workbook bytes through the DEFAULT parser chain (stdlib
+    xlsx_lite here — openpyxl absent): write via the sink, read back
+    distributed via binaryFile + mapInPandas."""
+    import pandas as pd
+
+    from data_ingestion_tool_spark.sinks.excel import export_to_excel
+    from data_ingestion_tool_spark.xlsx_lite import parse_xlsx
+
+    src = spark.createDataFrame(
+        [(1, "x", 2.5), (2, "héllo <&>", -1.0)], "k int, s string, v double"
+    )
+    path = str(tmp_path / "wb_real.xlsx")
+    n = export_to_excel(src, path, sheet_name="Data")
+    assert n == 2
+    # bytes are a genuine zip+xml workbook
+    pdf = parse_xlsx(open(path, "rb").read(), sheet_name="Data")
+    assert list(pdf.columns) == ["k", "s", "v"]
+    # distributed read through the default parser (no injection)
+    df = read_excel(spark, path, sheet_name="Data")
+    rows = sorted(df.collect(), key=lambda r: r[0])
+    assert [tuple(r) for r in rows] == [(1, "x", 2.5), (2, "héllo <&>", -1.0)]
 
 def test_events_loads_on_unconfigured_session(spark):
     """Regression: the external harness builds its own SparkSession
