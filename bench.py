@@ -54,7 +54,22 @@ def main() -> None:
     except ValueError:
         sf_num = None
 
-    spark = get_spark("data_ingestion_tool_spark-bench")
+    # Size file-split granularity to the benchmark input so scans use
+    # the whole executor pool: the engine default (128 MB, right for a
+    # cluster reading TB-scale tables) leaves a small-SF parquet as a
+    # single partition and the first stage single-threaded. Clamp to
+    # [1 MB, 128 MB]; at real scale the clamp returns the default.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    split = min(max(total_bytes // (cpus * 2), 1 << 20), 128 << 20)
+    spark = get_spark(
+        "data_ingestion_tool_spark-bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(split)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
     names = [n for n in HEADLINE if n in reg]

@@ -66,12 +66,14 @@ def get_spark(
     *,
     shuffle_partitions: int | str | None = None,
     warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine session.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
     master is configured in the environment, so tests and the bench
-    harness are deterministic.
+    harness are deterministic. ``extra_conf`` lets callers (bench) add
+    workload-sized settings without forking the factory.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
@@ -84,6 +86,8 @@ def get_spark(
         shuffle_partitions=shuffle_partitions,
         warehouse_dir=warehouse_dir,
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
