@@ -58,6 +58,10 @@ _FRONT = [
     "lang_id",
     "token_counts",
     "doc_fingerprints",
+    "decontaminate_ngram_overlap",
+    "repetition_score",
+    "doc_train_split",
+    "redact_pii",
     # event-time windows
     "tumbling_hourly",
     "sliding_hourly",
@@ -85,10 +89,6 @@ _FRONT = [
     "orders_global_sort",
     "supplier_balance_pairs",
     "agg_cube",
-    "set_union_all_customers",
-    "orders_in_subquery",
-    "scalar_array_map_funcs",
-    "customer_order_stats",
 ]
 
 

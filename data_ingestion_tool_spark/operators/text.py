@@ -410,6 +410,218 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data hygiene: decontamination, repetition, splits, PII
+# ---------------------------------------------------------------------------
+
+# n-gram width for contamination detection. Real pipelines use 8-13
+# word grams; 4 is tuned to the synthetic testdata's ~40-word
+# vocabulary so the check exercises non-empty overlap.
+_DECON_N = 4
+_DECON_MIN_OVERLAP = 1  # report any eval-set n-gram collision
+
+
+def _ngram_array(n: int):
+    """Distinct word n-grams of the text column as array<string>."""
+    gram = " , ".join(f"toks[i+{j}]" for j in range(n))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {gram}))"
+        )
+    )
+
+
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    ≥ ``_DECON_MIN_OVERLAP`` distinct ``_DECON_N``-grams with the eval
+    set (here: ``doc_id % 100 == 0`` as the deterministic stand-in
+    benchmark).
+
+    Scale shape: the eval set is SMALL by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its exploded n-gram
+    table is **broadcast** onto the corpus-side n-gram stream — no
+    shuffle of the corpus, one hash-agg by doc_id. The corpus side
+    explodes distinct n-grams only (array_distinct before explode
+    bounds the per-doc fan-out)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_grams = d.select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") >= _DECON_N).select(
+        "doc_id", _ngram_array(_DECON_N).alias("grams")
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    bench = (
+        with_grams.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    sizes = with_grams.select("doc_id", F.size("grams").alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= _DECON_MIN_OVERLAP)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+        ).alias("overlap_frac"),
+    )
+
+
+DECONTAMINATE_SQL = rf"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {_DECON_N - 2}),
+             i -> {' || '.join("toks[i+%d]" % j if j == 0 else "' ' || toks[i+%d]" % j for j in range(_DECON_N)).replace("toks[i+0]", "toks[i]")})) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
+corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 != 0),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM corpus JOIN bench USING (gram)
+  GROUP BY doc_id HAVING COUNT(*) >= {_DECON_MIN_OVERLAP}
+)
+SELECT h.doc_id AS doc_id, h.n_overlap AS n_overlap,
+       len(g.grams) AS n_grams,
+       ROUND(CAST(h.n_overlap AS DOUBLE) / len(g.grams), 6) AS overlap_frac
+FROM hits h JOIN g USING (doc_id)
+"""
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality rule):
+    duplicate-3-gram fraction plus most-frequent-token share. Pure
+    array expressions except one explode for the token mode — all
+    whole-stage-codegen eligible."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    based = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    gram_total = F.size("toks") - 2
+    gram_distinct = F.size(_ngram_array(3))
+    grams = based.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - gram_distinct.cast("double") / gram_total, 6
+        ).alias("dup_3gram_frac"),
+    )
+    tok_mode = (
+        based.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("doc_id")
+        .agg(F.max("k").alias("top_tok_count"))
+    )
+    return grams.join(tok_mode, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_3gram_frac",
+        F.round(
+            F.col("top_tok_count").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_token_frac"),
+    )
+
+
+REPETITION_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+based AS (SELECT * FROM t WHERE len(toks) >= 3),
+grams AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)-1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+               / (len(toks) - 2), 6) AS dup_3gram_frac
+  FROM based
+),
+mode AS (
+  SELECT doc_id, MAX(k) AS top_tok_count FROM (
+    SELECT doc_id, tok, COUNT(*) AS k
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM based)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id AS doc_id, g.n_tokens AS n_tokens, g.dup_3gram_frac,
+       ROUND(CAST(m.top_tok_count AS DOUBLE) / g.n_tokens, 6) AS top_token_frac
+FROM grams g JOIN mode m USING (doc_id)
+"""
+
+
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the split
+    must be a pure function of the key so re-runs, backfills, and
+    cross-engine pipelines agree. md5 is bit-identical across engines;
+    the first hex digit gives 16 buckets → 12/2/2 train/val/test."""
+    d = _docs(spark, sf_dir)
+    digit = F.expr(
+        "locate(substring(md5(cast(doc_id as string)), 1, 1),"
+        " '0123456789abcdef') - 1"
+    )
+    split = (
+        F.when(digit < 12, "train").when(digit < 14, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+DOC_TRAIN_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+            THEN 'train'
+            WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+#: RE2- and Java-regex-compatible PII patterns (no lookarounds).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii_text(col) -> F.Column:
+    """text → text with emails/phones replaced by typed placeholders."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _PII_EMAIL, "[EMAIL]")
+    return F.regexp_replace(c, _PII_PHONE, "[PHONE]")
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (training-data hygiene): redact emails/phone numbers,
+    count redactions per document. JVM regexp only — codegen-eligible,
+    no Python in the path."""
+    d = _docs(spark, sf_dir)
+    n_emails = F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+    return d.select(
+        "doc_id",
+        redact_pii_text("text").alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+REDACT_PII_SQL = rf"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones
+FROM documents
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "exact TF-IDF top-3 terms per document", ("text",)),
@@ -433,4 +645,16 @@ SPECS: list[QuerySpec] = [
               "whitespace + BPE-ish token counting", ("text",)),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINTS_SQL,
               "md5 content fingerprint", ("text",)),
+    QuerySpec("decontaminate_ngram_overlap", decontaminate_ngram_overlap,
+              DECONTAMINATE_SQL,
+              "benchmark decontamination via 8-gram collision join",
+              ("text", "dedup")),
+    QuerySpec("repetition_score", repetition_score, REPETITION_SCORE_SQL,
+              "intra-doc repetition: dup-3gram + top-token fractions",
+              ("text",)),
+    QuerySpec("doc_train_split", doc_train_split, DOC_TRAIN_SPLIT_SQL,
+              "deterministic md5-hash train/val/test assignment",
+              ("text",)),
+    QuerySpec("redact_pii", redact_pii, REDACT_PII_SQL,
+              "PII scrub: email/phone redaction + counts", ("text",)),
 ]

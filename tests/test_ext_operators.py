@@ -214,3 +214,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         per_query.setdefault(r["query_id"], 0)
         per_query[r["query_id"]] += 1
     assert all(v <= TOP_K for v in per_query.values())
+
+
+def test_redact_pii_behavior(spark):
+    """Behavioral check on synthetic PII (the documents corpus contains
+    none): emails and phone numbers redacted, counts correct."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.text import redact_pii_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c.d@e-f.org and 0044 207 946 0958"),
+        ],
+        "doc_id int, text string",
+    ).select("doc_id", redact_pii_text("text").alias("clean"))
+    got = {r["doc_id"]: r["clean"] for r in df.collect()}
+    assert got[1] == "contact [EMAIL] or [PHONE] now"
+    assert got[2] == "no pii here at all"
+    assert got[3] == "two mails: [EMAIL] [EMAIL] and [PHONE]"
+
+
+def test_doc_train_split_fractions(spark):
+    """Split assignment is deterministic and roughly 12/2/2 by design."""
+    from data_ingestion_tool_spark.operators.text import doc_train_split
+
+    df = doc_train_split(spark, "/root/testdata/sf0.01")
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert total == 500
+    assert 0.6 < counts["train"] / total < 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
+    # deterministic: re-run produces identical assignment
+    again = doc_train_split(spark, "/root/testdata/sf0.01")
+    assert df.exceptAll(again).count() == 0
