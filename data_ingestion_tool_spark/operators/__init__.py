@@ -67,6 +67,7 @@ _FRONT = [
     "sliding_hourly",
     "session_windows",
     "top_purchasers",
+    "multires_rollup",
     # multimodal plumbing
     "media_decode_shapes",
     "media_feature_norms",
@@ -88,7 +89,6 @@ _FRONT = [
     "topk_orders_per_customer",
     "orders_global_sort",
     "supplier_balance_pairs",
-    "agg_cube",
 ]
 
 
