@@ -87,8 +87,9 @@ _FRONT = [
     "pricing_summary",
     "revenue_by_nation",
     "topk_orders_per_customer",
-    "orders_global_sort",
-    "supplier_balance_pairs",
+    # new-capability queries (round 2): need first driver rows
+    "unpivot_lineitem_metrics",
+    "orders_above_customer_avg",
 ]
 
 

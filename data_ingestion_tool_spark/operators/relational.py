@@ -1309,7 +1309,135 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
 
 
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` / SQL UNPIVOT): per-flag
+    metric totals melted to (flag, metric, val) — the melt operator the
+    reference's SQL surface reaches via UNPIVOT."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_price"),
+        dec_sum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "val",
+    )
+
+
+UNPIVOT_LINEITEM_METRICS_SQL = f"""
+UNPIVOT (
+  SELECT l_returnflag,
+         {sql_dec_sum('l_quantity', 'sum_qty')},
+         {sql_dec_sum('l_extendedprice', 'sum_price')},
+         {sql_dec_sum('l_discount', 'sum_disc')}
+  FROM lineitem GROUP BY l_returnflag
+) ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE val
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (Catalyst decorrelates to an
+    aggregate + join): orders strictly above their customer's average
+    order value. The predicate is stated in exact integer×decimal form
+    (price·n > sum) so both engines compare identical values — a
+    double AVG would make the boundary engine-dependent."""
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_corr_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders_corr_v o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM orders_corr_v o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FROM orders_corr_v o2
+                 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family: percent_rank, cume_dist,
+    nth_value — deterministic total order (price desc, orderkey) so
+    rank ties cannot differ across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_best"),
+    )
+
+
+WINDOW_RANK_EXTRAS_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(o_orderkey, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_best
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nation names
+    per region, sorted so the concatenation is deterministic."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+            "nation_list"
+        ),
+    )
+
+
+AGG_STRING_CONCAT_SQL = """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nation_list
+FROM nation GROUP BY n_regionkey
+"""
+
+
 SPECS_STATS = [
+    QuerySpec("unpivot_lineitem_metrics", unpivot_lineitem_metrics,
+              UNPIVOT_LINEITEM_METRICS_SQL,
+              "wide→long UNPIVOT/melt reshape", ("agg", "scalar")),
+    QuerySpec("orders_above_customer_avg", orders_above_customer_avg,
+              ORDERS_ABOVE_CUSTOMER_AVG_SQL,
+              "correlated scalar subqueries (decorrelated by Catalyst)",
+              ("join", "agg")),
+    QuerySpec("window_rank_extras", window_rank_extras,
+              WINDOW_RANK_EXTRAS_SQL,
+              "percent_rank/cume_dist/nth_value window family",
+              ("window",)),
+    QuerySpec("agg_string_concat", agg_string_concat, AGG_STRING_CONCAT_SQL,
+              "ordered LISTAGG/STRING_AGG concatenation", ("agg",)),
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
