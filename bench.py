@@ -34,9 +34,12 @@ HEADLINE = [
     "scalar_json_events",
     "tumbling_hourly",
     "session_windows",
+    "multires_rollup",
     "asof_last_event",
     "text_quality",
     "token_counts",
+    "decontaminate_ngram_overlap",
+    "repetition_score",
     "training_data_pipeline",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
