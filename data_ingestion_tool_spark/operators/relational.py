@@ -1404,6 +1404,63 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+def agg_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG ``pandas_udf`` (the UDAF
+    surface, SURVEY §2.12): 10%-trimmed mean of order value per
+    priority. Arrow ships each group's column to one vectorized numpy
+    reduction; partial aggregation doesn't apply to opaque UDAFs, so
+    groups must fit per-executor — right for low-cardinality keys like
+    priority (5 groups), wrong for user-level keys (use built-ins
+    there).
+
+    Rank-based trim (drop ⌊n·0.1⌋ from each end of the sorted values,
+    in cents) keeps the result integer-exact across engines.
+    """
+    import pandas as pd
+
+    # NB: explicit __annotations__ because this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf's GROUPED_AGG signature inference.
+    def trimmed_sum_cents(v):
+        cents = v.sort_values().to_numpy()
+        k = int(len(cents) * 0.1)
+        kept = cents[k : len(cents) - k] if len(cents) > 2 * k else cents
+        return int(kept.sum())
+
+    trimmed_sum_cents.__annotations__ = {"v": pd.Series, "return": int}
+    trimmed_sum_cents = F.pandas_udf("long")(trimmed_sum_cents)
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    src = o.select("o_orderpriority", cents.alias("cents"))
+    # a GROUPED_AGG pandas UDF cannot share an agg with built-ins
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count comes from a second
+    # tiny aggregate joined back (5 groups; AQE broadcasts it)
+    trimmed = src.groupBy("o_orderpriority").agg(
+        trimmed_sum_cents("cents").alias("trimmed_sum_cents")
+    )
+    counts = src.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    return trimmed.join(counts, "o_orderpriority")
+
+
+AGG_TRIMMED_MEAN_PANDAS_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+                      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+                     THEN cents ELSE 0 END) AS BIGINT) AS trimmed_sum_cents,
+       COUNT(*) AS n
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
 def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG/STRING_AGG): nation names
     per region, sorted so the concatenation is deterministic."""
@@ -1438,6 +1495,10 @@ SPECS_STATS = [
               ("window",)),
     QuerySpec("agg_string_concat", agg_string_concat, AGG_STRING_CONCAT_SQL,
               "ordered LISTAGG/STRING_AGG concatenation", ("agg",)),
+    QuerySpec("agg_trimmed_mean_pandas", agg_trimmed_mean_pandas,
+              AGG_TRIMMED_MEAN_PANDAS_SQL,
+              "custom UDAF via GROUPED_AGG pandas_udf (trimmed mean)",
+              ("agg", "udf")),
     QuerySpec("scalar_regex_extract", scalar_regex_extract,
               SCALAR_REGEX_EXTRACT_SQL,
               "regex group extraction/count/replace", ("scalar", "text")),
