@@ -86,10 +86,10 @@ _FRONT = [
     # one representative per already-green relational family
     "pricing_summary",
     "revenue_by_nation",
-    "topk_orders_per_customer",
     # new-capability queries (round 2): need first driver rows
     "unpivot_lineitem_metrics",
     "orders_above_customer_avg",
+    "agg_trimmed_mean_pandas",
 ]
 
 
