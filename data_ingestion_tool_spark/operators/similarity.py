@@ -218,6 +218,67 @@ _IVF_KMEANS_ITERS = 5
 _IVF_TRAIN_MAX = 4096
 
 
+def _unit_rows(m):
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
+def _ivf_train(emb: DataFrame):
+    """Spherical k-means centroids from a bounded deterministic sample:
+    hash-ordered ``limit`` is a TakeOrderedAndProject (per-partition
+    top-k), never a proportional collect — the driver sees
+    ≤ ``_IVF_TRAIN_MAX`` rows at any table size."""
+    import numpy as np
+
+    sample_pdf = (
+        emb.orderBy(F.xxhash64("vec_id")).limit(_IVF_TRAIN_MAX).toPandas()
+    )
+    sample = _unit_rows(
+        np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    )
+    rng = np.random.RandomState(42)
+    n_cent = min(_IVF_NCENTROIDS, len(sample))
+    centroids = sample[rng.choice(len(sample), n_cent, replace=False)]
+    for _ in range(_IVF_KMEANS_ITERS):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit_rows(centroids)
+    return centroids
+
+
+def _ivf_assign(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, list_id): broadcast centroids, one BLAS argmax per
+    Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def assign_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _unit_rows(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "list_id": (m @ cents.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(assign_stage, "vec_id long, list_id int")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the
     coarse-quantizer scale path next to the LSH variant.
@@ -242,55 +303,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested against it. Rows-only driver check.
     """
     import numpy as np
-    import pandas as pd
-    from collections.abc import Iterator
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-
-    def _unit(m: np.ndarray) -> np.ndarray:
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0.0] = 1.0
-        return m / n
-
-    # --- train on a bounded deterministic sample: hash-ordered limit
-    # is a TakeOrderedAndProject (per-partition top-k), never a
-    # proportional collect — the driver sees ≤ _IVF_TRAIN_MAX rows at
-    # any table size.
-    sample_pdf = (
-        emb.orderBy(F.xxhash64("vec_id")).limit(_IVF_TRAIN_MAX).toPandas()
-    )
-    sample = _unit(np.vstack(sample_pdf["embedding"].to_numpy()).astype(np.float64))
-    rng = np.random.RandomState(42)
-    n_cent = min(_IVF_NCENTROIDS, len(sample))
-    centroids = sample[rng.choice(len(sample), n_cent, replace=False)]
-    for _ in range(_IVF_KMEANS_ITERS):
-        assign = (sample @ centroids.T).argmax(axis=1)
-        for c in range(len(centroids)):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _unit(centroids)
-    bc = spark.sparkContext.broadcast(centroids)
-
-    # --- assign every vector to its nearest list
-    def assign_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = _unit(np.vstack(pdf["embedding"].to_numpy()).astype(np.float64))
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "list_id": (m @ cents.T).argmax(axis=1).astype(np.int32),
-                }
-            )
-
-    lists = emb.mapInPandas(assign_stage, "vec_id long, list_id int")
+    centroids = _ivf_train(emb)
+    lists = _ivf_assign(spark, emb, centroids)
 
     # --- probe: nprobe nearest lists per query (queries are tiny)
     q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    q_mat = _unit(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
+    q_mat = _unit_rows(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
     probe_rows = [
         (int(qid), int(lid))
         for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
@@ -307,6 +327,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = emb.select(
         F.col("vec_id").alias("vec_id"), _as_double("embedding").alias("cv")
     )
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> None:
+    """Materialize the IVF inverted lists as parquet PARTITIONED BY
+    list_id — the scale path ``ann_ivf_topk``'s docstring promises:
+    once written, a probe touches only ``nprobe`` partitions
+    (partition pruning at the file listing, verified in
+    tests/test_plans.py) instead of scanning every vector's
+    assignment. Train/assign are identical to the ad-hoc operator, so
+    probes against the index return the same neighbors."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    centroids = _ivf_train(emb)
+    lists = _ivf_assign(spark, emb, centroids)
+    lists.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+
+
+def ann_ivf_topk_indexed(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """IVF probe against a prebuilt partitioned index: identical
+    output contract to ann_ivf_topk, but candidate listing reads ONLY
+    the probed list_id partitions (partition-pruned scan)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    centroids = _ivf_train(emb)
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_mat = _unit_rows(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
+    probe_rows = [
+        (int(qid), int(lid))
+        for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
+        for lid in np.argsort(-scores)[:_IVF_NPROBE]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    wanted = sorted({lid for _, lid in probe_rows})
+
+    lists = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(wanted)  # prunes partitions at listing
+    )
+    candidates = lists.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    cv = emb.select("vec_id", _as_double("embedding").alias("cv"))
     scored = (
         candidates.join(F.broadcast(qv), "query_id")
         .join(cv, "vec_id")

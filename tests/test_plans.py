@@ -111,3 +111,25 @@ def test_blocked_near_dup_replication_factor_is_n_blocks(spark):
     exploded = emb.select(F.explode(pairs)).count()
     assert exploded == n_rows * _GRID_BLOCKS
     assert df.count() >= 0
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index is partitioned by list_id; a probe
+    reads only the nprobe partitions (PartitionFilters at the scan)
+    and returns exactly the ad-hoc operator's neighbors."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+    )
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(spark, SF_CORRECT, idx)
+    probed = ann_ivf_topk_indexed(spark, SF_CORRECT, idx)
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+    adhoc = ann_ivf_topk(spark, SF_CORRECT)
+    assert probed.exceptAll(adhoc).count() == 0
+    assert adhoc.exceptAll(probed).count() == 0
