@@ -33,22 +33,18 @@ _FRONT = [
     # flagship reference parity + composed pipeline
     "validate_lineitem",
     "training_data_pipeline",
-    # dedup tier
+    # dedup tier (simhash/near_clusters rotate out: rows-only checks,
+    # pytest-verified; the oracle-paired ops take the slots)
     "dedup_exact_docs",
     "dedup_first_event",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_near_clusters",
     # similarity / embeddings tier
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
-    "embedding_outliers",
-    "label_centroid_norms",
-    "label_top_eigenvalue",
+    "kmeans_labels",
     # text tier
     "tfidf_top_terms",
     "normalize_text",
@@ -83,13 +79,17 @@ _FRONT = [
     "scalar_variant_events",
     "user_funnel",
     "purchases_after_clicks",
-    # one representative per already-green relational family
-    "pricing_summary",
-    "revenue_by_nation",
     # new-capability queries (round 2): need first driver rows
     "unpivot_lineitem_metrics",
     "orders_above_customer_avg",
     "agg_trimmed_mean_pandas",
+    "events_gap_fill",
+    "pack_token_budget",
+    "quality_score_linear",
+    "lateral_top_orders",
+    "orders_exists_subquery",
+    "set_except_all_customers",
+    "set_intersect_all_customers",
 ]
 
 

@@ -115,6 +115,66 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user HOURLY grid from first to last
+    activity, empty hours materialized with ``n_events = 0`` and the
+    hourly value forward-filled (``last IGNORE NULLS``).
+
+    Scale shape: hourly pre-aggregation first (the only pass over raw
+    events), then the grid is generated per user with
+    ``sequence()``+``explode`` — grid size is bounded by the time span,
+    never by event count, and every stage is keyed on user_id /
+    (user_id, hour): no broadcast, no skew-prone key. The reference has
+    no resample operator; this is the standard feature-engineering
+    shape for training-data pipelines over event streams.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "hr_value"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_hour"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket_hour")
+    return grid.join(hourly, ["user_id", "bucket_hour"], "left").select(
+        "user_id",
+        "bucket_hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+         COUNT(*) AS n_events, {sql_dec_sum('value', 'hr_value')}
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi
+  FROM hourly GROUP BY 1
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_hour
+  FROM bounds
+)
+SELECT g.user_id, g.bucket_hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       LAST_VALUE(h.hr_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket_hour) AS filled_value
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.bucket_hour = h.bucket_hour
+"""
+
+
 def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter→agg→top-k over the event stream (pushdown showcase)."""
     e = _events(spark, sf_dir)
@@ -238,4 +298,7 @@ SPECS: list[QuerySpec] = [
               "per-user session windows, 10min gap", ("events", "window")),
     QuerySpec("top_purchasers", top_purchasers, TOP_PURCHASERS_SQL,
               "filter + agg + top-k over events", ("events",)),
+    QuerySpec("events_gap_fill", events_gap_fill, EVENTS_GAP_FILL_SQL,
+              "hourly resample: gap materialization + forward fill",
+              ("events", "window", "timeseries")),
 ]

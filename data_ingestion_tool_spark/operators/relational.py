@@ -562,6 +562,107 @@ SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
 """
 
 
+def set_except_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each 1995 activity row survives
+    once per unmatched multiplicity (a customer with three 1995 orders
+    and one 1996 order keeps two rows). One hash-agg shuffle per side
+    plus the count subtraction; no row-pair enumeration."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.exceptAll(b)
+
+
+SET_EXCEPT_ALL_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+"""
+
+
+def set_intersect_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: min(multiplicity) copies per
+    key survive."""
+    a = _custkeys_by_year(spark, sf_dir, 1995)
+    b = _custkeys_by_year(spark, sf_dir, 1996)
+    return a.intersectAll(b)
+
+
+SET_INTERSECT_ALL_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996
+"""
+
+
+def orders_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point —
+    Catalyst rewrites both to semi/anti joins (no per-row subquery
+    re-execution): customers holding an open ('O') order but no
+    failed ('F') one."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+ORDERS_EXISTS_SUBQUERY_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (Spark ≥3.4 SQL): per
+    high-balance customer, their two priciest orders. The planner
+    rewrites the lateral into a per-key window top-k, so execution is
+    one shuffle — not a per-customer subquery loop. Deterministic
+    tiebreak (price DESC, orderkey ASC) keeps the oracle exact."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9900
+        """
+    )
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_acctbal > 9900
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -1647,6 +1748,15 @@ SPECS: list[QuerySpec] = [
               SET_INTERSECT_CUSTOMERS_SQL, "INTERSECT", ("setop",)),
     QuerySpec("set_except_customers", set_except_customers, SET_EXCEPT_CUSTOMERS_SQL,
               "EXCEPT", ("setop",)),
+    QuerySpec("set_except_all_customers", set_except_all_customers,
+              SET_EXCEPT_ALL_CUSTOMERS_SQL, "EXCEPT ALL (bag)", ("setop",)),
+    QuerySpec("set_intersect_all_customers", set_intersect_all_customers,
+              SET_INTERSECT_ALL_CUSTOMERS_SQL, "INTERSECT ALL (bag)", ("setop",)),
+    QuerySpec("orders_exists_subquery", orders_exists_subquery,
+              ORDERS_EXISTS_SUBQUERY_SQL, "correlated EXISTS/NOT EXISTS",
+              ("subquery",)),
+    QuerySpec("lateral_top_orders", lateral_top_orders, LATERAL_TOP_ORDERS_SQL,
+              "LATERAL correlated table subquery", ("subquery", "join")),
     QuerySpec("top_orders", top_orders, TOP_ORDERS_SQL,
               "global sort + limit (TakeOrderedAndProject)", ("sort",)),
     QuerySpec("scalar_string_funcs", scalar_string_funcs, SCALAR_STRING_FUNCS_SQL,

@@ -660,7 +660,97 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 8
+
+
+def kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k={k}, {iters} iterations,
+    deterministic init = the k lowest vec_ids) — the iterative-ML
+    pattern Spark MLlib uses, expressed directly:
+
+    - centroids live on the DRIVER as a k×d numpy array (KBs,
+      bounded by k·d — never by table size) and ride to executors
+      as a broadcast;
+    - assignment is one ``mapInPandas`` pass: each Arrow batch scores
+      against the broadcast centroid matrix with a single GEMM;
+    - the update step is a per-cluster mean via ONE hash aggregation
+      (sum over element_at per dimension — JVM-side partial aggs),
+      collecting exactly k rows back to the driver per iteration.
+
+    Per iteration: one scan + one k-row shuffle. No lineage blowup:
+    each iteration's assignment reads the raw table, not the previous
+    iteration's output. Non-SQL-expressible (iterative) → rows-only
+    driver check; convergence/partition invariants are pytest-checked.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(_KMEANS_K).toPandas()
+    centroids = np.vstack(init["embedding"].to_numpy()).astype(np.float64)
+
+    def assign_df(cents: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
+
+        def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            c2 = (c * c).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # argmin ||x-c||² = argmin c·c - 2 x·c (x·x constant per row)
+                d2 = c2[None, :] - 2.0 * (m @ c.T)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": d2.argmin(axis=1).astype(np.int32),
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return emb.mapInPandas(
+            stage, "vec_id long, cluster int, embedding array<float>"
+        )
+
+    for _ in range(_KMEANS_ITERS):
+        assigned = assign_df(centroids)
+        vecs = assigned.select(
+            "cluster", _as_double("embedding").alias("v")
+        )
+        means = (
+            vecs.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(_DIM)
+                ],
+            )
+            .toPandas()
+            .sort_values("cluster")
+        )
+        new = centroids.copy()
+        for row in means.itertuples(index=False):
+            new[row.cluster] = (
+                np.array([getattr(row, f"s{i}") for i in range(_DIM)])
+                / row.n
+            )
+        centroids = new
+
+    return assign_df(centroids).select("vec_id", "cluster")
+
+
+kmeans_labels.__doc__ = kmeans_labels.__doc__.format(
+    k=_KMEANS_K, iters=_KMEANS_ITERS
+)
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("kmeans_labels", kmeans_labels, None,
+              "distributed Lloyd's k-means (broadcast centroids + GEMM assign)",
+              ("similarity", "ml")),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL,
               "exact cosine top-k (broadcast brute force)", ("similarity",)),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None,

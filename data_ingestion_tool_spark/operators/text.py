@@ -639,7 +639,135 @@ FROM documents
 """
 
 
+#: Sequence-packing budget (tokens per training sequence) and the
+#: number of independent packing streams. Buckets bound the inherent
+#: seriality of greedy packing: each bucket packs sequentially inside
+#: one window partition, buckets pack in parallel. At cluster scale
+#: raise the bucket count with the executor count.
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 32
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed token
+    budgets (greedy, in deterministic doc_id order) so each packed
+    sequence holds ≤ {budget} whitespace tokens (a doc longer than the
+    budget overflows its own sequence).
+
+    The greedy scan is a cumulative-sum window per pack bucket —
+    ``seq_no = floor(cumsum_before / budget)`` — so the whole operator
+    is one shuffle on the bucket key and stays JVM-side. The reference
+    has no packing step; this is the standard pre-tokenization batch
+    shape for LLM training pipelines.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("pack_bucket"),
+        F.size(_tokens()).alias("ws_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("ws_tokens").over(w) - F.col("ws_tokens")
+    return toks.select(
+        "doc_id",
+        "pack_bucket",
+        F.floor(cum_before / _PACK_BUDGET).alias("seq_no"),
+        "ws_tokens",
+    )
+
+
+PACK_TOKEN_BUDGET_SQL = rf"""
+SELECT doc_id,
+       doc_id % {_PACK_BUCKETS} AS pack_bucket,
+       CAST(FLOOR((SUM(ws_tokens) OVER (PARTITION BY doc_id % {_PACK_BUCKETS}
+                                        ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                   - ws_tokens) / {_PACK_BUDGET}) AS BIGINT) AS seq_no,
+       ws_tokens
+FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS ws_tokens
+      FROM documents)
+"""
+
+
+#: Tiny interpretable linear quality model: decimal term weights keep
+#: the dot product exact on both engines (no float summation-order
+#: drift through the oracle hash).
+_QUALITY_WEIGHTS: list[tuple[str, str]] = [
+    ("data", "0.75"), ("spark", "0.60"), ("table", "0.40"),
+    ("join", "0.35"), ("query", "0.30"), ("fast", "0.25"),
+    ("slow", "-0.40"), ("error", "-0.55"), ("null", "-0.30"),
+    ("skew", "-0.20"), ("batch", "0.15"), ("shuffle", "-0.10"),
+]
+_QUALITY_BIAS = "-0.50"
+
+
+def quality_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring at scale: a linear bag-of-words classifier whose
+    weight vector rides a BROADCAST join — the shape used to push a
+    trained quality/toxicity model over a 100 TB corpus (weights are
+    KBs; documents never re-shuffle for the model).
+
+    explode(tokens) → broadcast-join the weight table → one hash-agg
+    per doc_id → bias + threshold. Exact decimal arithmetic end-to-end
+    so the DuckDB oracle hash-matches bit-for-bit.
+    """
+    d = _docs(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [(t, w) for t, w in _QUALITY_WEIGHTS], "term string, w string"
+    ).select("term", F.col("w").cast("decimal(12,2)").alias("w"))
+    contrib = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .join(F.broadcast(weights), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("dot"))
+    )
+    bias = F.lit(_QUALITY_BIAS).cast("decimal(12,2)")
+    score = F.coalesce(F.col("dot"), F.lit(0).cast("decimal(12,2)")) + bias
+    return (
+        d.select("doc_id")
+        .join(contrib, "doc_id", "left")
+        .select(
+            "doc_id",
+            score.cast("double").alias("lin_score"),
+            (score > 0).alias("keep"),
+        )
+    )
+
+
+QUALITY_SCORE_LINEAR_SQL = rf"""
+WITH weights(term, w) AS (VALUES
+  {', '.join(f"('{t}', CAST({w} AS DECIMAL(12,2)))" for t, w in _QUALITY_WEIGHTS)}
+),
+contrib AS (
+  SELECT doc_id, SUM(w) AS dot
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents) tok
+  JOIN weights USING (term)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.dot, CAST(0 AS DECIMAL(12,2)))
+            + CAST({_QUALITY_BIAS} AS DECIMAL(12,2)) AS DOUBLE) AS lin_score,
+       (COALESCE(c.dot, CAST(0 AS DECIMAL(12,2)))
+            + CAST({_QUALITY_BIAS} AS DECIMAL(12,2))) > 0 AS keep
+FROM documents d LEFT JOIN contrib c USING (doc_id)
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("pack_token_budget", pack_token_budget, PACK_TOKEN_BUDGET_SQL,
+              "greedy training-sequence packing via bucketed cumsum",
+              ("text", "llm")),
+    QuerySpec("quality_score_linear", quality_score_linear,
+              QUALITY_SCORE_LINEAR_SQL,
+              "linear quality-model scoring via broadcast weights",
+              ("text", "llm")),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_SQL,
               "exact TF-IDF top-3 terms per document", ("text",)),
     QuerySpec("normalize_text", normalize_text, NORMALIZE_TEXT_SQL,

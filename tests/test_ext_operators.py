@@ -250,3 +250,45 @@ def test_doc_train_split_fractions(spark):
     # deterministic: re-run produces identical assignment
     again = doc_train_split(spark, "/root/testdata/sf0.01")
     assert df.exceptAll(again).count() == 0
+
+
+def test_kmeans_labels_invariants(spark):
+    """Lloyd's k-means: total assignment (every vector exactly once),
+    cluster ids in range, determinism across runs, and the final
+    assignment is a fixed point w.r.t. its own centroids (each vector
+    sits with its nearest final centroid — the Lloyd's convergence
+    property after the last assign pass)."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _KMEANS_K,
+        kmeans_labels,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    out = kmeans_labels(spark, SF_CORRECT)
+    pdf = out.toPandas()
+    emb = load_table(spark, SF_CORRECT, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    assert len(pdf) == n
+    assert pdf["vec_id"].is_unique
+    assert pdf["cluster"].between(0, _KMEANS_K - 1).all()
+
+    # determinism: same init, same data -> same assignment
+    pdf2 = kmeans_labels(spark, SF_CORRECT).toPandas()
+    merged = pdf.merge(pdf2, on="vec_id", suffixes=("_a", "_b"))
+    assert (merged["cluster_a"] == merged["cluster_b"]).all()
+
+    # fixed point vs the labels' own centroids
+    full = emb.toPandas().merge(pdf, on="vec_id")
+    mat = np.vstack(full["embedding"].to_numpy()).astype(np.float64)
+    lab = full["cluster"].to_numpy()
+    cents = np.vstack(
+        [mat[lab == c].mean(axis=0) for c in range(_KMEANS_K)]
+    )
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    nearest = d2.argmin(axis=1)
+    # allow ties / boundary flips on a handful of points
+    assert (nearest == lab).mean() > 0.98
