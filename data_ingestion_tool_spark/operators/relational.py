@@ -159,6 +159,21 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (``percentile_approx`` — Greenwald-Khanna
+    under the hood): mergeable bounded-memory summaries per partition,
+    so a 100 TB percentile costs one map-side-combined agg instead of a
+    total sort. Accuracy 10000 → rank error ≤ n/10000. Rows-only driver
+    check (sketch estimates are engine-specific); the rank-error bound
+    vs the exact ordered-set aggregate is pytest-checked."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.9], 10000
+        ).alias("price_quantiles")
+    )
+
+
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregate: discrete p50/p90 of quantity per flag.
 
@@ -1720,6 +1735,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL, "CUBE grouping sets", ("agg",)),
     QuerySpec("agg_quantiles", agg_quantiles, AGG_QUANTILES_SQL,
               "discrete percentiles via window position", ("agg", "window")),
+    QuerySpec("agg_approx_quantiles", agg_approx_quantiles, None,
+              "mergeable quantile sketch (percentile_approx)", ("agg", "sketch")),
     QuerySpec("top_revenue_orders", top_revenue_orders, TOP_REVENUE_ORDERS_SQL,
               "3-way join + agg + top-k (TPC-H Q3 shape)", ("join", "flagship")),
     QuerySpec("revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL,

@@ -760,7 +760,58 @@ FROM documents d LEFT JOIN contrib c USING (doc_id)
 """
 
 
+_HH_CAPACITY = 24  # Misra-Gries summary size per Arrow batch
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (Misra–Gries / "frequent" sketch)
+    over corpus tokens — the bounded-state alternative to a full
+    term count when the vocabulary doesn't fit a shuffle.
+
+    Per Arrow batch, keep a ≤k-entry summary (count, then subtract the
+    (k+1)-th count — the MG decrement); summaries MERGE BY ADDITION,
+    so the reduce is an ordinary hash-agg over ≤ k·n_batches rows, not
+    |vocabulary| rows. Guarantees (classic MG bound): any term with
+    true frequency > n/(k+1) survives, and every reported count is an
+    underestimate by at most n/(k+1). Property-tested against exact
+    counts; rows-only driver check (estimates are engine-specific).
+
+    Token explode stays JVM-side (Generate); only the sketch runs in
+    Python, over the narrow one-column token stream.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(_tokens()).alias("term"))
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["term"].value_counts()
+            if len(counts) > _HH_CAPACITY:
+                # subtract the (k+1)-th largest count from everything,
+                # drop non-positive — the batched Misra-Gries decrement
+                dec = counts.iloc[_HH_CAPACITY]
+                counts = (counts - dec)[lambda s: s > 0]
+            out = counts.reset_index()
+            out.columns = ["term", "est_count"]
+            yield out
+
+    partial = toks.mapInPandas(sketch, "term string, est_count long")
+    return (
+        partial.groupBy("term")
+        .agg(F.sum("est_count").alias("est_count"))
+        .orderBy(F.desc("est_count"), "term")
+        .limit(_HH_CAPACITY)
+    )
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("heavy_hitter_terms", heavy_hitter_terms, None,
+              "Misra-Gries bounded-state heavy-hitter sketch",
+              ("text", "sketch")),
     QuerySpec("pack_token_budget", pack_token_budget, PACK_TOKEN_BUDGET_SQL,
               "greedy training-sequence packing via bucketed cumsum",
               ("text", "llm")),

@@ -292,3 +292,69 @@ def test_kmeans_labels_invariants(spark):
     nearest = d2.argmin(axis=1)
     # allow ties / boundary flips on a handful of points
     assert (nearest == lab).mean() > 0.98
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark):
+    """MG bound: every term with true frequency > n/(k+1) appears, and
+    every reported count is ≤ the true count (never an overestimate)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.text import (
+        _HH_CAPACITY,
+        _tokens,
+        heavy_hitter_terms,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    est = {
+        r["term"]: r["est_count"]
+        for r in heavy_hitter_terms(spark, SF_CORRECT).collect()
+    }
+    exact_df = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .count()
+    )
+    exact = {r["term"]: r["count"] for r in exact_df.collect()}
+    n = sum(exact.values())
+    threshold = n / (_HH_CAPACITY + 1)
+    must_have = {t for t, c in exact.items() if c > threshold}
+    reported = set(est)
+    assert must_have <= reported or not must_have, (
+        f"missing guaranteed heavy hitters: {must_have - reported}"
+    )
+    for t, c in est.items():
+        assert c <= exact[t], f"{t}: estimate {c} > true {exact[t]}"
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """percentile_approx(accuracy=10000) estimates sit within the GK
+    rank-error bound of the exact order statistics."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.relational import (
+        agg_approx_quantiles,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r["price_quantiles"]
+        for r in agg_approx_quantiles(spark, SF_CORRECT).collect()
+    }
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        vals = np.sort(grp["l_extendedprice"].to_numpy())
+        n = len(vals)
+        for q, got in zip([0.25, 0.5, 0.75, 0.9], approx[flag]):
+            # rank of the estimate within the exact ordering
+            lo = np.searchsorted(vals, got, side="left")
+            hi = np.searchsorted(vals, got, side="right")
+            target = q * n
+            slack = n / 10000 + 1
+            assert lo - slack <= target <= hi + slack, (
+                f"{flag} q={q}: est {got} rank [{lo},{hi}] vs target {target}"
+            )
