@@ -46,6 +46,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "embedding_near_dup",
+    "events_gap_fill",
+    "pack_token_budget",
+    "quality_score_linear",
+    "heavy_hitter_terms",
 ]
 
 

@@ -38,10 +38,8 @@ _FRONT = [
     "dedup_exact_docs",
     "dedup_first_event",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # similarity / embeddings tier
     "ann_bruteforce_topk",
-    "ann_ivf_topk",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
     "kmeans_labels",
@@ -90,6 +88,8 @@ _FRONT = [
     "orders_exists_subquery",
     "set_except_all_customers",
     "set_intersect_all_customers",
+    "scd2_user_history",
+    "incremental_hourly_counts",
 ]
 
 

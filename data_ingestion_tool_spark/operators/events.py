@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_tool_spark.functions import dec_sum, sql_dec_sum
+from data_ingestion_tool_spark.functions import dec, dec_sum, sql_dec_sum
 from data_ingestion_tool_spark.operators.base import QuerySpec
 from data_ingestion_tool_spark.sources.tables import load_table
 
@@ -175,6 +175,87 @@ FROM grid g LEFT JOIN hourly h
 """
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 / CDC-apply: collapse each user's event stream into
+    versioned state rows — ``valid_from`` / ``valid_to`` (open-ended
+    for the current version) + ``is_current`` — the
+    slowly-changing-dimension shape every warehouse merge pipeline
+    needs. One window shuffle on user_id; ``lead()`` closes each
+    version, no self-join. Ties on ts are ordered by event_id so the
+    version chain is deterministic.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_USER_HISTORY_SQL = """
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+#: Cutover for the incremental-maintenance demo: rows before the cut
+#: are the "already materialized" base, rows at/after it are the delta.
+_INCR_CUTOVER = "2024-01-20"
+
+
+def incremental_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: merge a pre-aggregated BASE with
+    a freshly aggregated DELTA instead of rescanning history.
+
+    Both branches aggregate to the same (event_type, bucket_hour) grain
+    and merge with one summing hash-agg — counts and decimal sums are
+    self-mergeable, so ``agg(base) ⊎ agg(delta) == agg(base ∪ delta)``
+    exactly (the oracle aggregates the full table in one pass). In
+    steady state only the delta partition is scanned: at 100 TB the
+    base side is the stored MV, not a recomputation — partition
+    pruning on the cutover date keeps the nightly cost O(|delta|).
+    """
+    e = _events(spark, sf_dir)
+    cut = F.lit(_INCR_CUTOVER).cast("timestamp")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("sum_value_dec"),
+        )
+
+    base = hourly(e.filter(F.col("ts") < cut))
+    delta = hourly(e.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "bucket_hour")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("total_value"),
+        )
+    )
+
+
+INCREMENTAL_HOURLY_COUNTS_SQL = f"""
+SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+       COUNT(*) AS n_events, {sql_dec_sum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter→agg→top-k over the event stream (pushdown showcase)."""
     e = _events(spark, sf_dir)
@@ -301,4 +382,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("events_gap_fill", events_gap_fill, EVENTS_GAP_FILL_SQL,
               "hourly resample: gap materialization + forward fill",
               ("events", "window", "timeseries")),
+    QuerySpec("scd2_user_history", scd2_user_history, SCD2_USER_HISTORY_SQL,
+              "SCD Type-2 versioning via lead() (CDC apply)",
+              ("events", "window", "cdc")),
+    QuerySpec("incremental_hourly_counts", incremental_hourly_counts,
+              INCREMENTAL_HOURLY_COUNTS_SQL,
+              "materialized-view maintenance: base ⊎ delta merge",
+              ("events", "agg", "incremental")),
 ]
