@@ -133,3 +133,49 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     adhoc = ann_ivf_topk(spark, SF_CORRECT)
     assert probed.exceptAll(adhoc).count() == 0
     assert adhoc.exceptAll(probed).count() == 0
+
+
+def test_pack_token_budget_is_single_shuffle(spark):
+    """Greedy packing = one exchange (the bucket window); everything
+    else is JVM-side projection."""
+    rep = plan_report(REG["pack_token_budget"].builder(spark, SF_CORRECT))
+    assert rep.exchanges == 1
+    assert rep.map_in_pandas == 0
+
+
+def test_quality_score_weights_ride_a_broadcast(spark):
+    """The model weight table must never shuffle the token stream."""
+    df = REG["quality_score_linear"].builder(spark, SF_CORRECT)
+    assert_broadcast_join(df, at_least=1)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 0  # scoring is all Column expressions
+
+
+def test_scd2_is_one_window_exchange_no_join(spark):
+    """SCD2 versioning must be a window, not a self-join."""
+    rep = plan_report(REG["scd2_user_history"].builder(spark, SF_CORRECT))
+    assert rep.exchanges == 1
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins == 0
+
+
+def test_lateral_rewrites_to_window_group_limit(spark):
+    """The LATERAL subquery must plan as a per-key group-limit (with a
+    partial limit below the exchange), not a per-row subquery loop."""
+    rep = plan_report(REG["lateral_top_orders"].builder(spark, SF_CORRECT))
+    assert rep.window_group_limits >= 2
+    assert rep.nested_loop_joins == 0
+
+
+def test_heavy_hitters_shuffles_summaries_not_tokens(spark):
+    """The MG sketch aggregates mapInPandas output (<= k rows per
+    batch); the exploded token stream itself must not reach an
+    exchange."""
+    df = REG["heavy_hitter_terms"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 1
+    assert rep.generates == 1  # token explode stays JVM-side
+    # exactly the summary agg (partial+final around one exchange) plus
+    # the final top-k sort — the raw token stream never shuffles, so a
+    # single shuffle exchange feeds the aggregate
+    assert rep.exchanges <= 2
