@@ -42,7 +42,7 @@ _FRONT = [
     "ann_bruteforce_topk",
     "embedding_near_dup",
     "embedding_near_dup_blocked",
-    "kmeans_labels",
+    "fuzzy_title_pairs",
     # text tier
     "tfidf_top_terms",
     "normalize_text",

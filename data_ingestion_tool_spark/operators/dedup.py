@@ -493,9 +493,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_PREFIX = 20  # chars of the doc head treated as its "title"
+_FUZZY_MAX_DIST = 2
+_FUZZY_BAND_W = _FUZZY_MAX_DIST + 1
+
+
+def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join: document-head pairs within
+    Levenshtein distance {d}, found with LOSSLESS length-band blocking
+    instead of an all-pairs scan.
+
+    ``lev(a,b) ≤ d ⟹ |len(a)-len(b)| ≤ d``, so with bands of width
+    d+1 a match can only sit in the same or an adjacent band. The left
+    side fans out to its 3 candidate bands (bounded 3× explode), the
+    join is EQUI on the band key (hash-partitionable — no theta join,
+    no cartesian), and the exact Levenshtein filter runs only inside
+    band-collided pairs. At 100 TB, compose with a first-char or
+    q-gram bucket in the join key to tighten blocks further; the
+    completeness argument survives any additional equality key that is
+    itself distance-preserved.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.trim("text"), 1, _FUZZY_PREFIX).alias("title"),
+    ).withColumn("band", F.floor(F.length("title") / _FUZZY_BAND_W))
+    left = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    right = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        "band",
+    )
+    return (
+        left.join(right, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.levenshtein("title_a", "title_b") <= _FUZZY_MAX_DIST)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("title_a", "title_b").alias("edit_dist"),
+        )
+    )
+
+
+fuzzy_title_pairs.__doc__ = fuzzy_title_pairs.__doc__.format(d=_FUZZY_MAX_DIST)
+
+
+FUZZY_TITLE_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, substr(trim(text), 1, {_FUZZY_PREFIX}) AS title
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.title, b.title) AS edit_dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= {_FUZZY_MAX_DIST}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_DOCS_SQL,
               "exact dedup via content fingerprint", ("dedup",)),
+    QuerySpec("fuzzy_title_pairs", fuzzy_title_pairs, FUZZY_TITLE_PAIRS_SQL,
+              "edit-distance join via lossless length-band blocking",
+              ("dedup", "similarity")),
     QuerySpec("dedup_first_event", dedup_first_event, DEDUP_FIRST_EVENT_SQL,
               "keyed exact dedup, deterministic keep rule", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL,

@@ -21,7 +21,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-SUPPORTED_EXTENSIONS = (".csv", ".json", ".parquet", ".xlsx", ".xlsm", ".zip")
+#: Ingest-pipeline dispatch. ``.txt`` is deliberately NOT here: the
+#: reference skips it (box_ingest.py:157-159) and a one-column line
+#: table has no place in the validated-ingest path; ``read_text`` is
+#: the standalone raw-corpus entry point for the text/dedup tier.
+SUPPORTED_EXTENSIONS = (
+    ".csv",
+    ".json",
+    ".parquet",
+    ".orc",
+    ".xlsx",
+    ".xlsm",
+    ".zip",
+)
 
 
 def read_csv(spark: SparkSession, paths: list[str] | str) -> DataFrame:
@@ -40,6 +52,19 @@ def read_json(spark: SparkSession, paths: list[str] | str) -> DataFrame:
 
 def read_parquet(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     return spark.read.parquet(*([paths] if isinstance(paths, str) else paths))
+
+
+def read_orc(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """ORC is a first-class columnar source (vectorized reader,
+    predicate pushdown) — no reference analog (pandas has no ORC
+    writer path in the tool), included for format completeness."""
+    return spark.read.orc(*([paths] if isinstance(paths, str) else paths))
+
+
+def read_text(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Plain text: one row per line, a single ``value`` column — the
+    raw-corpus entry point for the text/dedup tier."""
+    return spark.read.text(paths)
 
 
 def classify(path: str) -> str | None:
@@ -91,6 +116,8 @@ def read_paths(
                 out.append((kind, read_json(spark, group)))
             elif kind == "parquet":
                 out.append((kind, read_parquet(spark, group)))
+            elif kind == "orc":
+                out.append((kind, read_orc(spark, group)))
         except Exception as exc:  # noqa: BLE001 — quarantine the group
             failed.append((kind, str(exc)))
         if kind in ("xlsx", "xlsm"):
