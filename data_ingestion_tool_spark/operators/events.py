@@ -256,6 +256,33 @@ GROUP BY 1, 2
 """
 
 
+_HIST_BIN_WIDTH = 25
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — binning
+    by integer floor-division so both engines share one bin function
+    (no RNG, no engine-specific bucketing). One map-side-combined
+    hash-agg; bin count bounded by the value range, not row count."""
+    e = _events(spark, sf_dir)
+    bin_col = F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("long")
+    return e.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS bin_min,
+       ROUND(MAX(value), 2) AS bin_max
+FROM events GROUP BY 1, 2
+"""
+
+
 def top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter→agg→top-k over the event stream (pushdown showcase)."""
     e = _events(spark, sf_dir)
@@ -389,4 +416,7 @@ SPECS: list[QuerySpec] = [
               INCREMENTAL_HOURLY_COUNTS_SQL,
               "materialized-view maintenance: base ⊎ delta merge",
               ("events", "agg", "incremental")),
+    QuerySpec("value_histogram", value_histogram, VALUE_HISTOGRAM_SQL,
+              "fixed-width histogram via shared floor-div binning",
+              ("events", "agg")),
 ]

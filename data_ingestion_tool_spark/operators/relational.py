@@ -1394,6 +1394,35 @@ FROM (SELECT l_orderkey, l_linenumber,
 """
 
 
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregates (``regr_*`` — Spark ≥3.5):
+    OLS slope/intercept/R² of extendedprice on quantity per return
+    flag, computed as one map-side-combinable aggregate pass (the
+    moment sums), never a per-group fit loop. Rounded to 6 decimals:
+    accumulation order differs across engines at ~1e-15."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "price_intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+AGG_REGRESSION_SQL = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS price_per_qty,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS price_intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family: correlation, covariance, stddev.
     Accumulation order differs across engines at ~1e-15; rounding to 6
@@ -1735,6 +1764,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL, "CUBE grouping sets", ("agg",)),
     QuerySpec("agg_quantiles", agg_quantiles, AGG_QUANTILES_SQL,
               "discrete percentiles via window position", ("agg", "window")),
+    QuerySpec("agg_regression", agg_regression, AGG_REGRESSION_SQL,
+              "regr_slope/intercept/r2 one-pass OLS aggregates", ("agg", "stats")),
     QuerySpec("agg_approx_quantiles", agg_approx_quantiles, None,
               "mergeable quantile sketch (percentile_approx)", ("agg", "sketch")),
     QuerySpec("top_revenue_orders", top_revenue_orders, TOP_REVENUE_ORDERS_SQL,
