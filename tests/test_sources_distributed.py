@@ -123,3 +123,33 @@ def test_text_source_reads_lines(spark, tmp_path):
     assert classify(str(p)) is None
     rows = [r["value"] for r in read_text(spark, str(p)).collect()]
     assert rows == ["alpha beta", "gamma", "", "delta"]
+
+
+def test_xlsx_python_datasource(spark, tmp_path):
+    """Custom Spark-4 Python DataSource: directory of workbooks scans
+    with one InputPartition per file, schema inferred at plan time."""
+    import pandas as pd
+
+    from data_ingestion_tool_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+    from data_ingestion_tool_spark.xlsx_lite import write_xlsx
+
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "id": [i * 10 + 1, i * 10 + 2],
+                "name": [f"a{i}", f"b{i}"],
+                "score": [1.5 + i, 2.5 + i],
+            }
+        )
+        write_xlsx(pdf, str(tmp_path / f"wb{i}.xlsx"))
+
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3  # one per workbook
+    rows = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert rows[0] == (1, "a0", 1.5) and len(rows) == 6
+    assert dict(df.dtypes) == {
+        "id": "bigint", "name": "string", "score": "double"
+    }
