@@ -175,6 +175,60 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def high_watermark_alerts_stream(events: DataFrame) -> DataFrame:
+    """Per-user high-water-mark alerts via ``transformWithStateInPandas``
+    (the Spark-4 arbitrary-state API): emit a row only when a user's
+    ``value`` exceeds every value previously seen for that user.
+
+    Demonstrates the typed-state surface that supersedes
+    ``applyInPandasWithState``: named ``ValueState`` registered in
+    ``init`` against a schema, per-key isolation, checkpoint recovery.
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — the store transformWithState
+    is built on; HDFS-backed state is not supported for this operator.
+    Also requires ``google.protobuf`` (the TWS state-server wire
+    protocol); in environments without it the query fails at start
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE and the
+    pytest is skip-gated on the same import.
+    State per user is one double — size is O(distinct keys), spread
+    across executors by the grouping.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWater(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hwm = handle.getValueState("hwm", "m double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._hwm.get()
+            prev_m = prev[0] if prev is not None else float("-inf")
+            best = prev_m
+            for pdf in rows:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    best = max(best, float(vals.max()))
+            if best > prev_m:
+                self._hwm.update((best,))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "high_value": [best]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=HighWater(),
+        outputStructType="user_id long, high_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_ingest(
     spark: SparkSession,
     path: str,

@@ -8,6 +8,13 @@ import json
 
 import pytest
 
+try:  # transformWithState's state-server protocol dependency
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
 from data_ingestion_tool_spark.streaming import (
     dedup_events_stream,
     purchases_after_clicks_stream,
@@ -221,3 +228,61 @@ def test_sessionized_stream_matches_batch_semantics(spark, tmp_path):
     by_user = {r["user_id"]: r["n_events"] for r in rows}
     # user 1: events 15min apart merge into one session of 2
     assert by_user == {1: 2, 2: 1}
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas state protocol needs google.protobuf "
+    "(absent in this sandbox); operator gated on the same import",
+)
+def test_transform_with_state_high_watermark(spark, tmp_path):
+    """transformWithStateInPandas (Spark-4 typed-state API): alerts
+    fire only on new per-user maxima, and the ValueState survives a
+    checkpointed restart."""
+    from data_ingestion_tool_spark.streaming.streams import (
+        high_watermark_alerts_stream,
+    )
+
+    src = tmp_path / "hwm_src"
+    ckpt = str(tmp_path / "hwm_ckpt")
+    _write_events(src, EVENTS[:2])  # user 1: 1.0 then 2.0 (same batch)
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events_from_directory(spark, str(src))
+        alerts = high_watermark_alerts_stream(stream)
+
+        def run():
+            rows = []
+            q = (
+                alerts.writeStream.option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .outputMode("update")
+                .foreachBatch(lambda bdf, _id: rows.extend(bdf.collect()))
+                .start()
+            )
+            q.awaitTermination(120)
+            return rows
+
+        first = run()
+        assert {(r["user_id"], r["high_value"]) for r in first} == {(1, 2.0)}
+
+        # lower value -> no alert; higher value -> alert (state recovered)
+        _write_events(src, [dict(EVENTS[0], event_id=11, value=1.5)])
+        _write_events(src, [dict(EVENTS[0], event_id=12, value=9.0)])
+        second = run()
+        out = {(r["user_id"], r["high_value"]) for r in second}
+        assert (1, 9.0) in out
+        assert not any(hv < 9.0 for (_u, hv) in out)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
