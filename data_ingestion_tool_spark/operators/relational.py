@@ -1394,6 +1394,71 @@ FROM (SELECT l_orderkey, l_linenumber,
 """
 
 
+_PROFILE_COLS = (
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_totalprice",
+)
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator (the pre-ingest sanity pass the
+    reference's validation implies): per-column row/null/distinct
+    counts + min/max, computed in ONE aggregate scan — metrics for all
+    columns evaluate in the same partial agg, then unpivot to long
+    form with ``stack``. The oracle scans once per column (UNION ALL);
+    at 100 TB the single-pass shape is the difference between one read
+    and |columns| reads. Numerics stringify through DECIMAL(12,2) so
+    both engines format identically."""
+    o = _t(spark, sf_dir, "orders")
+
+    def native(c: str) -> F.Column:
+        # min/max run on the NATIVE type (string-first would compare
+        # lexicographically); only the result stringifies.
+        col = F.col(c)
+        return dec(col) if dict(o.dtypes)[c] == "double" else col
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            m
+            for c in _PROFILE_COLS
+            for m in (
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.min(native(c)).cast("string").alias(f"{c}__min"),
+                F.max(native(c)).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_null, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+def _profile_sql_branch(c: str, numeric: bool) -> str:
+    cast = f"CAST({c} AS DECIMAL(12,2))" if numeric else c
+    return f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({cast}) AS VARCHAR) AS min_val,
+       CAST(MAX({cast}) AS VARCHAR) AS max_val
+FROM orders"""
+
+
+PROFILE_ORDERS_SQL = " UNION ALL ".join(
+    _profile_sql_branch(c, c == "o_totalprice") for c in _PROFILE_COLS
+)
+
+
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in linear-regression aggregates (``regr_*`` — Spark ≥3.5):
     OLS slope/intercept/R² of extendedprice on quantity per return
@@ -1764,6 +1829,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("agg_cube", agg_cube, AGG_CUBE_SQL, "CUBE grouping sets", ("agg",)),
     QuerySpec("agg_quantiles", agg_quantiles, AGG_QUANTILES_SQL,
               "discrete percentiles via window position", ("agg", "window")),
+    QuerySpec("profile_orders", profile_orders, PROFILE_ORDERS_SQL,
+              "single-pass per-column data profiling (stack unpivot)",
+              ("agg", "profiling")),
     QuerySpec("agg_regression", agg_regression, AGG_REGRESSION_SQL,
               "regr_slope/intercept/r2 one-pass OLS aggregates", ("agg", "stats")),
     QuerySpec("agg_approx_quantiles", agg_approx_quantiles, None,
