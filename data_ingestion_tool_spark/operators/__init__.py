@@ -17,6 +17,7 @@ from data_ingestion_tool_spark.operators import (
     events,
     ingest,
     multimodal,
+    rangejoin,
     relational,
     similarity,
     skew,
@@ -24,7 +25,7 @@ from data_ingestion_tool_spark.operators import (
 )
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational, events, text, dedup, similarity, multimodal, skew, ingest]
+_MODULES = [relational, events, text, dedup, similarity, multimodal, skew, ingest, rangejoin]
 
 #: First-50 pin list (driver correctness window). Keep this at exactly
 #: the entries that need fresh driver rows; tests assert every name

@@ -1,0 +1,189 @@
+"""Generic temporal-join APIs: as-of join and bucketized range join.
+
+Spark has no native ASOF JOIN or banded range join; a naive theta join
+(``l.ts BETWEEN r.ts + a AND r.ts + b`` with no equality key) plans as
+BroadcastNestedLoopJoin — O(n·m) pair enumeration. These operators give
+both shapes a scalable plan:
+
+- :func:`asof_join` — union + keyed window (``last IGNORE NULLS``):
+  one shuffle on the key, one sort, zero pair enumeration. The pattern
+  behind pandas ``merge_asof`` at cluster scale (differentially tested
+  against it).
+- :func:`bucketed_range_join` — time bucketed to width ``upper-lower``
+  so every window spans ≤ 2 buckets: the left side fans out to its two
+  candidate buckets (bounded 2× explode), the join becomes an EQUI join
+  on the bucket key (hash-partitionable), and the exact window filter
+  runs only inside bucket collisions. The standard binned range-join
+  rewrite (cf. interval joins in stream processors).
+
+Epoch arithmetic uses ``unix_micros`` (exact integers) so bucket
+assignment can't drift on sub-second timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.operators.base import QuerySpec
+from data_ingestion_tool_spark.sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """For each left row, the nearest right row at-or-before (backward)
+    / at-or-after (forward) its ``on`` timestamp within the same ``by``
+    key — left columns + the matched right ``value_cols``.
+
+    Union both sides, then one window per key carries the most recent
+    right values onto left rows: ``last(..., ignorenulls)`` over
+    ``(UNBOUNDED PRECEDING, -1)`` for backward, ``first`` over
+    ``(1, UNBOUNDED FOLLOWING)`` for forward. Exact-match ties are
+    controlled by the intra-timestamp sort order (right-before-left
+    includes same-instant matches; left-before-right excludes them),
+    so the row frame never needs a value-based bound.
+
+    Scale shape: ONE shuffle on ``by``, one spill-safe sort — never a
+    pair join. Matches ``pandas.merge_asof`` semantics (differential
+    test in tests/test_rangejoin.py) with deterministic tie-breaks.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(
+        *by,
+        F.col(on).alias(on),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in value_cols:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None))
+    u = l.select(*lcols, *value_cols, "_side").unionByName(
+        r.select(*lcols, *value_cols, "_side")
+    )
+
+    # Same-ts ordering decides exact-match semantics (see docstring).
+    right_first = allow_exact_matches == (direction == "backward")
+    side_order = F.col("_side").asc() if right_first else F.col("_side").desc()
+    base = Window.partitionBy(*by).orderBy(F.col(on), side_order)
+
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, -1)
+        pick = [
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in value_cols
+        ]
+    else:
+        w = base.rowsBetween(1, Window.unboundedFollowing)
+        pick = [
+            F.first(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(c)
+            for c in value_cols
+        ]
+    return (
+        u.select(*lcols, "_side", *pick)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) pairs with ``right_ts ∈ [left_ts + lower_s,
+    left_ts + upper_s]`` (+ optional equality keys) WITHOUT a
+    nested-loop plan — see module docstring. Caller guarantees the two
+    inputs share no column names besides ``by``.
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must exceed lower_s")
+    w_us = (upper_s - lower_s) * 1_000_000
+    lo_us = lower_s * 1_000_000
+    hi_us = upper_s * 1_000_000
+    by = by or []
+
+    def div(c: Column, d: int) -> Column:
+        return F.floor(c / F.lit(d)).cast("long")
+
+    l_epoch = F.unix_micros(F.col(left_ts))
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(div(l_epoch + lo_us, w_us), div(l_epoch + hi_us, w_us))
+        ),
+    )
+    r = right.withColumn("_bucket", div(F.unix_micros(F.col(right_ts)), w_us))
+    return (
+        l.join(r, ["_bucket", *by])
+        .filter(
+            (F.unix_micros(F.col(right_ts)) >= l_epoch + lo_us)
+            & (F.unix_micros(F.col(right_ts)) <= l_epoch + hi_us)
+        )
+        .drop("_bucket")
+    )
+
+
+def global_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user range join: every (click, purchase) pair — ANY users
+    — with the purchase inside 5 minutes after the click. No equality
+    key exists, so a naive formulation is a nested-loop over all
+    clicks × all purchases; the bucketized rewrite keeps it an
+    equi-join (plan-asserted: zero BroadcastNestedLoopJoin)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return bucketed_range_join(
+        clicks,
+        purchases,
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=300,
+    ).select("click_id", "purchase_id")
+
+
+GLOBAL_CLICK_PURCHASE_PAIRS_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "global_click_purchase_pairs",
+        global_click_purchase_pairs,
+        GLOBAL_CLICK_PURCHASE_PAIRS_SQL,
+        "keyless range join via time-bucket equi-join rewrite",
+        ("join", "timeseries"),
+    ),
+]
