@@ -207,3 +207,42 @@ def test_date_partitioned_layout_prunes_partitions(spark, tmp_path):
     # partition directory directly
     direct = spark.read.parquet(f"{dest}/event_date=2024-01-15")
     assert one_day.count() == direct.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime Bloom-filter join pruning (InjectRuntimeFilter): with a
+    selective filter on the build side of a shuffle join, Spark plants
+    a bloom_filter_agg subquery and a might_contain() predicate on the
+    probe side — probe rows that can't match are dropped BEFORE the
+    shuffle. At cluster scale the default thresholds (10MB creation /
+    10GB application side) trigger this automatically; the test lowers
+    the application-side floor because sf0.1 scans are tiny."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
