@@ -1797,9 +1797,103 @@ FROM orders
 """
 
 
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-diff / reconciliation: classify every key across two
+    snapshots of a table as added / removed / changed (unchanged rows
+    are dropped) — the audit primitive behind incremental-load
+    verification, CDC replay checks, and blue/green table swaps.
+
+    The two snapshots are derived deterministically from ``orders``
+    (old = keys not divisible by 97; new = keys not divisible by 89,
+    with prices bumped on keys divisible by 101) so the oracle can
+    rebuild them exactly.
+
+    Scale shape: ONE full-outer equi-join on the table key — both
+    sides shuffle once on o_orderkey; with bucketed/identically
+    partitioned snapshots (the normal warehouse layout) the exchange
+    disappears entirely. Change detection compares the projected
+    columns null-safely; for wide tables, compare a per-side
+    ``xxhash64(concat_ws(...))`` row hash instead so the shuffle
+    carries (key, hash) rather than every column."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    old = o.filter(k % 97 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.lit(1).alias("in_old"),
+    )
+    new = (
+        o.filter(k % 89 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 101 == 0, F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+            F.col("o_orderstatus").alias("new_status"),
+            F.lit(1).alias("in_new"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full")
+    status = (
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(
+            ~F.col("old_price").eqNullSafe(F.col("new_price"))
+            | ~F.col("old_status").eqNullSafe(F.col("new_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            status.alias("status"),
+            "old_price",
+            "new_price",
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status,
+         1 AS in_old
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS new_price,
+         o_orderstatus AS new_status, 1 AS in_new
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT o_orderkey,
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN old_price IS DISTINCT FROM new_price
+                 OR old_status IS DISTINCT FROM new_status THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_price, new_price
+FROM old FULL JOIN new USING (o_orderkey)
+WHERE CASE WHEN in_old IS NULL THEN 'added'
+           WHEN in_new IS NULL THEN 'removed'
+           WHEN old_price IS DISTINCT FROM new_price
+                OR old_status IS DISTINCT FROM new_status THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("orders_customers_full", orders_customers_full,
               ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
+    QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
+              ORDERS_SNAPSHOT_DIFF_SQL,
+              "snapshot reconciliation: added/removed/changed diff",
+              ("join", "warehouse")),
     QuerySpec("orders_right_join_customers", orders_right_join_customers,
               ORDERS_RIGHT_JOIN_CUSTOMERS_SQL, "right outer join", ("join",)),
     QuerySpec("asof_last_event", asof_last_event, ASOF_LAST_EVENT_SQL,

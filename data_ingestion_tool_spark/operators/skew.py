@@ -82,9 +82,68 @@ GROUP BY o.o_orderpriority
 """
 
 
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiling: the diagnostic you run BEFORE picking a
+    join strategy at 100 TB — per-key row counts for the heaviest keys
+    of a prospective shuffle key, with each key's share of the table
+    and its ratio to the mean key load. A skew_ratio in the hundreds
+    says "salt this key or let AQE split it"; ~1 says a plain shuffle
+    is fine.
+
+    Scale shape: one partial+final hash-agg on the key (map-side
+    combine collapses hot keys early — the profile itself cannot skew),
+    a broadcast 1-row global aggregate for total/mean, and a top-k
+    TakeOrderedAndProject — no full sort, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total_rows"), 6
+            ).alias("key_frac"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), "l_suppkey")
+        .limit(20)
+    )
+
+
+JOIN_KEY_SKEW_PROFILE_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+),
+totals AS (
+  SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts
+)
+SELECT l_suppkey, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS key_frac,
+       ROUND(CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / total_rows, 6)
+           AS skew_ratio
+FROM counts, totals
+ORDER BY n_rows DESC, l_suppkey
+LIMIT 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("salted_revenue_by_priority", salted_revenue_by_priority,
               SALTED_REVENUE_BY_PRIORITY_SQL,
               "hot-key-salted fact-dim join, oracle-proven equivalent",
               ("join", "skew")),
+    QuerySpec("join_key_skew_profile", join_key_skew_profile,
+              JOIN_KEY_SKEW_PROFILE_SQL,
+              "per-key load profile: heaviest join keys + skew ratios",
+              ("skew", "profiling")),
 ]

@@ -12,7 +12,7 @@ is IEEE-exact on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.base import QuerySpec
@@ -808,10 +808,146 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Boilerplate detection: an n-gram is "boilerplate" when it appears in
+#: ≥ max(2, ceil(_BOILER_DF_FRAC · n_docs)) distinct documents; a doc
+#: is dropped when more than _BOILER_KEEP_FRAC of its distinct n-grams
+#: are boilerplate (C4/RefinedWeb-style template removal).
+_BOILER_N = 3
+_BOILER_DF_FRAC = 0.01
+_BOILER_KEEP_FRAC = 0.2
+
+
+def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: flag documents dominated by
+    n-grams that recur across many documents (navigation chrome, cookie
+    banners, license headers — the C4 "frequent line" rule lifted to
+    n-grams because this corpus is single-line).
+
+    Scale shape: n-grams are xxhash64-hashed **before** the explode
+    (8-byte fan-out, same trick as decontamination); doc-frequency is
+    one hash-agg over the gram stream; the boilerplate set is tiny *by
+    definition* (high-df grams are few — df ≥ 1% of a billion docs
+    admits only true templates), so it broadcasts back onto the gram
+    stream and the per-doc hit count is a second hash-agg on doc_id.
+    The corpus is never self-joined and never shuffled by gram twice.
+    n_docs rides along as a broadcast 1-row aggregate — no separate
+    driver job."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= _BOILER_N
+    )
+    hashed = _hashed_ngrams(_BOILER_N)
+    grams = base.select("doc_id", F.explode(hashed).alias("gram"))
+    sizes = base.select("doc_id", F.size(hashed).alias("n_grams"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    min_df = F.greatest(
+        F.lit(2).cast("bigint"), F.ceil(F.lit(_BOILER_DF_FRAC) * F.col("n_docs"))
+    )
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(boiler), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
+    frac = n_boiler.cast("double") / F.col("n_grams")
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_boiler.alias("n_boiler"),
+        F.round(frac, 6).alias("boiler_frac"),
+        (frac < F.lit(_BOILER_KEEP_FRAC)).alias("keep"),
+    )
+
+
+BOILERPLATE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - {_BOILER_N - 2}),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM t WHERE len(toks) >= {_BOILER_N}
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+n AS (SELECT COUNT(*) AS n_docs FROM g),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM e GROUP BY 1),
+boiler AS (
+  SELECT gram FROM dfreq, n
+  WHERE df >= greatest(2, CAST(ceil({_BOILER_DF_FRAC} * n_docs) AS BIGINT))
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM e JOIN boiler USING (gram) GROUP BY 1
+)
+SELECT g.doc_id AS doc_id,
+       len(g.grams) AS n_grams,
+       COALESCE(h.n_boiler, 0) AS n_boiler,
+       ROUND(CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(g.grams), 6)
+           AS boiler_frac,
+       CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(g.grams)
+           < {_BOILER_KEEP_FRAC} AS keep
+FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+
+#: Per-language sample size for the balanced subcorpus.
+_SAMPLE_PER_LANG = 10
+
+
+def doc_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sampling: exactly ≤ k documents per
+    language, chosen by md5(doc_id) order so every engine, re-run, and
+    backfill picks the identical subcorpus (md5 is bit-identical across
+    engines; `sample()`/`TABLESAMPLE` are not).
+
+    Scale shape: rank ≤ k over a hash order compiles to
+    WindowGroupLimit — each map task keeps only k rows per language
+    BEFORE the exchange, so the shuffle carries O(partitions·langs·k)
+    rows, not the corpus. This is the per-group reservoir pattern for
+    balanced per-domain/per-language training mixes."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        d.select(
+            "doc_id", "lang", "source", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _SAMPLE_PER_LANG)
+    )
+
+
+DOC_SAMPLE_BALANCED_SQL = f"""
+SELECT doc_id, lang, source, rk FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_SAMPLE_PER_LANG}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("heavy_hitter_terms", heavy_hitter_terms, None,
               "Misra-Gries bounded-state heavy-hitter sketch",
               ("text", "sketch")),
+    QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
+              BOILERPLATE_SQL,
+              "corpus-frequency boilerplate n-gram detection + keep flag",
+              ("text", "dedup")),
+    QuerySpec("doc_sample_balanced", doc_sample_balanced,
+              DOC_SAMPLE_BALANCED_SQL,
+              "deterministic md5-ordered per-language balanced sample",
+              ("text",)),
     QuerySpec("pack_token_budget", pack_token_budget, PACK_TOKEN_BUDGET_SQL,
               "greedy training-sequence packing via bucketed cumsum",
               ("text", "llm")),
