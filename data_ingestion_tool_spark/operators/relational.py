@@ -1887,6 +1887,137 @@ WHERE CASE WHEN in_old IS NULL THEN 'added'
 """
 
 
+def hierarchy_rollup_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchical rollup (Spark 4 ``WITH RECURSIVE``):
+    every customer key walks its implicit binary-tree ancestry
+    (``parent = key DIV 2``) and the rollup counts descendants per
+    ancestor node — the org-chart / BOM / category-tree aggregation
+    pattern, expressed in pure SQL with no driver-side loop.
+
+    Scale shape: each recursion step is a narrow projection (integer
+    halving) over the previous step — no join, no shuffle inside the
+    loop — and depth is bounded by log2(keyspace) (~40 for int64), so
+    the iteration count is independent of row count. The single
+    shuffle is the final descendant-count hash-agg. For iterative
+    algorithms that DO join per step, see dedup_near_clusters'
+    localCheckpoint pattern instead."""
+    c = _t(spark, sf_dir, "customer")
+    c.select("c_custkey").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, node, depth) AS (
+          SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM rcte_customer
+          UNION ALL
+          SELECT custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT node, COUNT(*) AS n_descendants, MAX(depth) AS max_depth
+        FROM anc GROUP BY node
+        ORDER BY n_descendants DESC, node
+        LIMIT 20
+        """
+    )
+
+
+HIERARCHY_ROLLUP_CTE_SQL = """
+WITH RECURSIVE anc(custkey, node, depth) AS (
+  SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM customer
+  UNION ALL
+  SELECT custkey, node // 2, depth + 1 FROM anc WHERE node > 1
+)
+SELECT node, COUNT(*) AS n_descendants, MAX(depth) AS max_depth
+FROM anc GROUP BY node
+ORDER BY n_descendants DESC, node
+LIMIT 20
+"""
+
+
+def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group aggregates: clamp ``l_extendedprice`` to
+    its per-flag [p01, p99] band (discrete positional percentiles, same
+    cross-engine definition as agg_quantiles) before summing — the
+    standard outlier-robust statistic for long-tailed metrics.
+
+    Scale shape: the rank window, the bound-broadcasting window
+    aggregates, and the final hash-agg all partition on the SAME key,
+    so Catalyst plans exactly one exchange — the bounds never round-trip
+    through the driver and there is no self-join against a percentile
+    table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wo).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    bounded = ranked.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.max(
+            F.when(
+                F.col("pos") == F.ceil(F.col("n") * 0.01),
+                F.col("l_extendedprice"),
+            )
+        )
+        .over(wp)
+        .alias("lo"),
+        F.max(
+            F.when(
+                F.col("pos") == F.ceil(F.col("n") * 0.99),
+                F.col("l_extendedprice"),
+            )
+        )
+        .over(wp)
+        .alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return bounded.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("lo").alias("p01_price"),
+        F.min("hi").alias("p99_price"),
+        F.sum(dec(clamped)).cast("double").alias("winsor_sum"),
+        F.round(
+            F.sum(dec(clamped)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsor_avg"),
+    )
+
+
+WINSORIZED_PRICES_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS pos,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+bounded AS (
+  SELECT l_returnflag, l_extendedprice,
+         MAX(CASE WHEN pos = CEIL(n * 0.01) THEN l_extendedprice END)
+             OVER (PARTITION BY l_returnflag) AS lo,
+         MAX(CASE WHEN pos = CEIL(n * 0.99) THEN l_extendedprice END)
+             OVER (PARTITION BY l_returnflag) AS hi
+  FROM ranked
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       MIN(lo) AS p01_price,
+       MIN(hi) AS p99_price,
+       CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                     AS DECIMAL(12,2))) AS DOUBLE) AS winsor_sum,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                           AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+           AS winsor_avg
+FROM bounded
+GROUP BY l_returnflag
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("orders_customers_full", orders_customers_full,
               ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
@@ -1894,6 +2025,14 @@ SPECS: list[QuerySpec] = [
               ORDERS_SNAPSHOT_DIFF_SQL,
               "snapshot reconciliation: added/removed/changed diff",
               ("join", "warehouse")),
+    QuerySpec("hierarchy_rollup_cte", hierarchy_rollup_cte,
+              HIERARCHY_ROLLUP_CTE_SQL,
+              "recursive CTE tree rollup: descendants per ancestor",
+              ("sql", "iterative")),
+    QuerySpec("winsorized_prices", winsorized_prices,
+              WINSORIZED_PRICES_SQL,
+              "outlier-robust winsorized aggregates via positional p01/p99",
+              ("agg",)),
     QuerySpec("orders_right_join_customers", orders_right_join_customers,
               ORDERS_RIGHT_JOIN_CUSTOMERS_SQL, "right outer join", ("join",)),
     QuerySpec("asof_last_event", asof_last_event, ASOF_LAST_EVENT_SQL,

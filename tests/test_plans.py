@@ -246,3 +246,58 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_balanced_prunes_before_shuffle(spark):
+    """The per-group reservoir claim: rank ≤ k compiles to partial +
+    final WindowGroupLimit, so maps ship k rows per language, not the
+    corpus — and the whole thing is one exchange."""
+    rep = plan_report(REG["doc_sample_balanced"].builder(spark, SF_CORRECT))
+    assert rep.window_group_limits >= 2
+    assert rep.exchanges == 1
+    assert rep.map_in_pandas == 0
+
+
+def test_skew_profile_is_topk_not_full_sort(spark):
+    """Heaviest-keys profile ends in TakeOrderedAndProject (bounded
+    top-k, no global sort); the 1-row totals ride a broadcast."""
+    from data_ingestion_tool_spark.plans.audit import formatted_plan
+
+    df = REG["join_key_skew_profile"].builder(spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    rep = plan_report(df)
+    assert rep.sort_merge_joins == 0
+    assert rep.broadcast_exchanges >= 1
+
+
+def test_boilerplate_never_self_joins_corpus(spark):
+    """Boilerplate detection joins the corpus gram stream against the
+    (tiny, broadcast) high-df set — never corpus × corpus, never
+    Python."""
+    from data_ingestion_tool_spark.plans.audit import formatted_plan
+
+    df = REG["boilerplate_ngram_flags"].builder(spark, SF_CORRECT)
+    assert "CartesianProduct" not in formatted_plan(df)
+    rep = plan_report(df)
+    assert rep.broadcast_exchanges >= 2
+    assert rep.map_in_pandas == 0
+
+
+def test_snapshot_diff_is_one_keyed_join(spark):
+    """Reconciliation = one full-outer equi-join: a shuffle per side,
+    no pair enumeration, and only the 3 compared columns read."""
+    df = REG["orders_snapshot_diff"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2
+    assert rep.read_schemas and all(
+        "o_orderdate" not in s for s in rep.read_schemas
+    )
+
+
+def test_winsorized_is_single_exchange(spark):
+    """Rank window, bound windows, and final agg share the group key:
+    exactly one shuffle end-to-end."""
+    rep = plan_report(REG["winsorized_prices"].builder(spark, SF_CORRECT))
+    assert rep.exchanges == 1
+    assert rep.map_in_pandas == 0
