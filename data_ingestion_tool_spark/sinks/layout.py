@@ -1,0 +1,166 @@
+"""Physical-layout maintenance: Z-order clustering and small-file
+compaction.
+
+Both operators matter only at scale — on a laptop every layout is fast;
+on a 1000-executor cluster reading 100 TB, data layout IS the query
+plan. Z-ordering bounds every file's min/max envelope in *several*
+dimensions at once, so multi-dimensional range predicates prune files
+before a single byte is read (parquet footer min/max + Spark's file
+skipping). Compaction keeps the file count proportional to data size,
+not to ingestion cadence — a table fed by 10k micro-batches/day
+otherwise degrades into millions of KB-sized files whose open/footer
+costs dwarf the scan.
+
+The reference tool appends blindly per ingested file
+(``box_ingest.py:124-129``) and has no maintenance story; these are the
+Spark-native operators a production deployment runs nightly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zvalue(a: Column | str, b: Column | str, *, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns. Pure JVM bit arithmetic — whole-stage
+    codegen, no UDF. Callers must pre-scale inputs into [0, 2**bits)
+    (rank or min/max scaling) — values beyond that range would collide
+    on the high bits and weaken (not corrupt) clustering.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    ca = ca.cast("bigint")
+    cb = cb.cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftleft(F.shiftrightunsigned(ca, i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_b = F.shiftleft(
+            F.shiftrightunsigned(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        z = z.bitwiseOR(bit_a).bitwiseOR(bit_b)
+    return z
+
+
+def scaled_to_bits(col: Column | str, max_val: int, *, bits: int = 16) -> Column:
+    """Scale a non-negative column with known maximum into [0, 2**bits)
+    — the pre-step that makes the Z-curve meaningful when dimensions
+    have different magnitudes (an unscaled 11-bit × 7-bit interleave
+    degenerates toward a single-dimension sort)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c.cast("double") * (1 << bits) / (max_val + 1)).cast(
+        "bigint"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    *,
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of two columns.
+
+    ``repartitionByRange`` on the Morton key gives each output file a
+    contiguous Z-range — i.e. a bounded rectangle (union of a few) in
+    (a, b) space — and ``sortWithinPartitions`` tightens every parquet
+    row group's min/max envelope inside the file. A predicate
+    ``a BETWEEN .. AND b BETWEEN ..`` then skips every file whose
+    envelope misses the box; a single-column sort layout can prune only
+    its own dimension. One shuffle total (the range partitioner); the
+    sort is per-partition, no extra exchange."""
+    z = zvalue(cols[0], cols[1], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_hit_by_box(
+    path: str,
+    a: str,
+    lo_a: int,
+    hi_a: int,
+    b: str,
+    lo_b: int,
+    hi_b: int,
+) -> tuple[int, int]:
+    """(files whose parquet-footer min/max envelope intersects the box,
+    total data files) — the same skipping decision Spark's parquet
+    reader makes from row-group statistics, surfaced for tests and
+    layout audits."""
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        total += 1
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                cname = col.path_in_schema
+                st = col.statistics
+                if st is None or cname not in (a, b):
+                    continue
+                mins[cname] = min(mins.get(cname, st.min), st.min)
+                maxs[cname] = max(maxs.get(cname, st.max), st.max)
+        if not mins:
+            continue
+        if mins[a] <= hi_a and maxs[a] >= lo_a and mins[b] <= hi_b and maxs[b] >= lo_b:
+            hit += 1
+    return hit, total
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_within: str | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ≈``target_bytes`` files.
+
+    File count derives from the CURRENT on-disk byte size (not row
+    count): ``ceil(total_bytes / target_bytes)``, so steady-state cost
+    tracks data volume. The rewrite is one job — a round-robin
+    ``repartition`` (or a range partition + sort when ``sort_within``
+    is given, preserving clustering through compaction) and an
+    atomic-rename swap via a sibling temp dir. Returns (files_before,
+    files_after)."""
+    names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    total_bytes = sum(os.path.getsize(os.path.join(path, n)) for n in names)
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
+    df = spark.read.parquet(path)
+    if sort_within is not None:
+        repart = df.repartitionByRange(n_out, sort_within).sortWithinPartitions(
+            sort_within
+        )
+    else:
+        repart = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    repart.write.mode("overwrite").parquet(tmp)
+    # swap: the rewrite is complete and validated before the old dir
+    # disappears; readers see either the old or the new layout.
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
+    return len(names), after

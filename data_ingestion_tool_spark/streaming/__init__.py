@@ -14,6 +14,7 @@ batch-like backfills with streaming semantics.
 
 from data_ingestion_tool_spark.streaming.streams import (
     dedup_events_stream,
+    enriched_events_stream,
     purchases_after_clicks_stream,
     running_user_totals_stream,
     sessionized_counts_stream,
@@ -25,6 +26,7 @@ from data_ingestion_tool_spark.streaming.streams import (
 
 __all__ = [
     "dedup_events_stream",
+    "enriched_events_stream",
     "purchases_after_clicks_stream",
     "running_user_totals_stream",
     "sessionized_counts_stream",

@@ -124,6 +124,25 @@ def purchases_after_clicks_stream(
     )
 
 
+def enriched_events_stream(
+    events: DataFrame,
+    user_dim: DataFrame,
+    *,
+    on: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins against a static dimension (user/customer attributes).
+
+    Unlike stream-stream joins this is stateless — no watermark, no
+    join state store: the static side is (re)read every micro-batch,
+    so a dimension table that updates between batches is picked up
+    automatically. The dimension is explicitly broadcast: at 100 TB/day
+    stream volume the dim side is the small side by orders of
+    magnitude, and a shuffle of the stream inside a micro-batch would
+    dominate the trigger interval."""
+    return events.join(F.broadcast(user_dim), on, "left")
+
+
 def dedup_events_stream(
     events: DataFrame,
     *,

@@ -1,0 +1,112 @@
+"""Layout-maintenance contracts: Z-order multi-dim file pruning beats a
+single-column sort, and compaction tracks on-disk bytes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.sinks.layout import (
+    compact_files,
+    files_hit_by_box,
+    write_zordered,
+    zvalue,
+)
+from data_ingestion_tool_spark.sources.tables import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.range(1).select(
+        zvalue(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+    )
+    # a → even bit positions, b → odd:
+    # a=(1,0,1), b=(1,1,0) low-to-high → bits 0..5 = 1,1,0,1,1,0 → 0b011011
+    assert df.collect()[0].z == 0b011011
+
+
+def test_zorder_prunes_more_files_than_single_column_sort(spark, tmp_path):
+    """The reason to Z-order: a 2-D box predicate must skip files in
+    BOTH dimensions. The a-sorted layout can prune only on a — every
+    file spans the full b range — while the Z-layout bounds both."""
+    from data_ingestion_tool_spark.sinks.layout import scaled_to_bits
+
+    raw = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    maxes = raw.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    li = raw.withColumn(
+        "pk_s", scaled_to_bits("l_partkey", maxes.mp, bits=8)
+    ).withColumn("sk_s", scaled_to_bits("l_suppkey", maxes.ms, bits=8))
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(li, zpath, ("pk_s", "sk_s"), bits=8, n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # a box covering ~1/4 of each dimension
+    box = dict(
+        a="l_partkey",
+        lo_a=0,
+        hi_a=int(maxes.mp) // 4,
+        b="l_suppkey",
+        lo_b=0,
+        hi_b=int(maxes.ms) // 4,
+    )
+    z_hit, z_total = files_hit_by_box(zpath, **box)
+    l_hit, l_total = files_hit_by_box(lpath, **box)
+    assert z_total == l_total == 16
+    assert z_hit < l_hit
+    # rows under the layouts are identical
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    a = spark.read.parquet(zpath).select(cols)
+    b = spark.read.parquet(lpath).select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty()
+
+
+def test_compact_files_hits_byte_target(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(64).write.parquet(path)
+    before_files = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    assert len(before_files) == 64
+    total = sum(os.path.getsize(os.path.join(path, n)) for n in before_files)
+    n_expected = max(1, -(-total // (total // 4)))  # target ≈ quarter of data
+    before, after = compact_files(spark, path, target_bytes=total // 4)
+    assert before == 64
+    assert after <= 8  # 64 shards collapse to a handful
+    assert after >= 1
+    assert spark.read.parquet(path).count() == li.count()
+    assert n_expected >= after  # file count derives from bytes, not shards
+
+
+def test_compact_preserves_sort_clustering(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    li.repartition(32).write.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, n))
+        for n in os.listdir(path)
+        if n.endswith(".parquet")
+    )
+    compact_files(
+        spark, path, target_bytes=total // 4, sort_within="l_partkey"
+    )
+    # range-partitioned + sorted: file min/max envelopes on l_partkey
+    # barely overlap, so a narrow predicate hits few files
+    hit, tot = files_hit_by_box(
+        path, "l_partkey", 0, 50, "l_partkey", 0, 50
+    )
+    assert tot >= 2
+    assert hit <= max(1, tot // 2)

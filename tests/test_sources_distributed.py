@@ -153,3 +153,43 @@ def test_xlsx_python_datasource(spark, tmp_path):
     assert dict(df.dtypes) == {
         "id": "bigint", "name": "string", "score": "double"
     }
+
+
+def test_read_jsonl_tolerant_quarantines_bad_lines(spark, tmp_path):
+    """PERMISSIVE parse: bad lines land in the quarantine side with
+    their raw text; valid side carries exactly the declared schema."""
+    from data_ingestion_tool_spark.sources.files import read_jsonl_tolerant
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": "noncastable", "name": "bad-type"}\n'
+        '{"id": 3, "name": "fine"}\n'
+    )
+    valid, corrupt = read_jsonl_tolerant(
+        spark, str(p), "id bigint, name string"
+    )
+    assert valid.columns == ["id", "name"]
+    assert sorted(r.id for r in valid.collect()) == [1, 3]
+    bad = sorted(r.record for r in corrupt.collect())
+    assert len(bad) == 2
+    assert "this is not json" in bad[0]
+    assert "noncastable" in bad[1]
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """mergeSchema surfaces late-added columns as nullable instead of
+    dropping them (default read picks one footer)."""
+    from data_ingestion_tool_spark.sources.files import read_parquet_evolved
+
+    old = str(tmp_path / "evo/gen=0")
+    new = str(tmp_path / "evo/gen=1")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(new)
+    df = read_parquet_evolved(spark, [old, new])
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 0.5}

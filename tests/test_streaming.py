@@ -286,3 +286,30 @@ def test_transform_with_state_high_watermark(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: stateless per-micro-batch broadcast against
+    a static dimension; unmatched users keep null attributes (left)."""
+    from data_ingestion_tool_spark.streaming import enriched_events_stream
+
+    src = tmp_path / "enrich_src"
+    _write_events(src, EVENTS)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "silver")], "user_id long, tier string"
+    )
+    stream = stream_events_from_directory(spark, str(src))
+    enriched = enriched_events_stream(stream, dim)
+    assert enriched.isStreaming
+    q = write_stream_append(
+        enriched,
+        checkpoint_dir=str(tmp_path / "enrich_ckpt"),
+        memory_name="enriched_events",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_events").collect()
+    }
+    assert rows == {1: "gold", 2: "gold", 3: None}
