@@ -50,6 +50,8 @@ HEADLINE = [
     "pack_token_budget",
     "quality_score_linear",
     "heavy_hitter_terms",
+    "boilerplate_ngram_flags",
+    "winsorized_prices",
 ]
 
 

@@ -556,9 +556,59 @@ WHERE levenshtein(a.title, b.title) <= {_FUZZY_MAX_DIST}
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingestion dedup: classify an arriving batch against
+    the EXISTING corpus — the shape a production pipeline runs per
+    ingest, where re-deduplicating 100 TB of history for every new
+    slice would be absurd. (Batch = ``doc_id % 10 == 0`` as the
+    deterministic stand-in; corpus = the rest.)
+
+    Scale shape: the corpus side reduces to its distinct fingerprint
+    set (in production: a maintained fingerprint table, so the history
+    is never re-scanned, only its index); the join is a left join on
+    the 16-byte fingerprint — one shuffle of the (small) batch against
+    the fingerprint table, map-side combinable. Output: every batch doc
+    with is_novel + the canonical existing doc it duplicates (null when
+    novel)."""
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    corpus = (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .select(fp, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("dup_of_doc_id"))
+    )
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", fp)
+    return batch.join(corpus, "fingerprint", "left").select(
+        "doc_id",
+        F.col("dup_of_doc_id").isNull().alias("is_novel"),
+        "dup_of_doc_id",
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH corpus AS (
+  SELECT md5(lower(trim(text))) AS fingerprint,
+         MIN(doc_id) AS dup_of_doc_id
+  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1
+),
+batch AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT b.doc_id AS doc_id,
+       c.dup_of_doc_id IS NULL AS is_novel,
+       c.dup_of_doc_id AS dup_of_doc_id
+FROM batch b LEFT JOIN corpus c USING (fingerprint)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_DOCS_SQL,
               "exact dedup via content fingerprint", ("dedup",)),
+    QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL,
+              "arriving-batch vs existing-corpus fingerprint dedup",
+              ("dedup", "warehouse")),
     QuerySpec("fuzzy_title_pairs", fuzzy_title_pairs, FUZZY_TITLE_PAIRS_SQL,
               "edit-distance join via lossless length-band blocking",
               ("dedup", "similarity")),

@@ -16,7 +16,7 @@ exclusive), mirrored in the oracle as ``>= gap``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.functions import dec, dec_sum, sql_dec_sum
@@ -390,10 +390,121 @@ GROUP BY GROUPING SETS ((event_type, bucket_hour), (event_type, bucket_day))
 """
 
 
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    > 3 sample standard deviations from the mean of that user's 10
+    PRECEDING events (current row excluded — the score must not
+    contaminate its own baseline; ≥ 5 priors required for a stable
+    estimate). The streaming-metrics data-quality monitor, in batch.
+
+    Scale shape: one shuffle on user_id; mean/stddev/count all share
+    one window frame, so Catalyst evaluates them in a single Window
+    operator pass — no self-join against a lagged copy, no second
+    exchange. The output is only the anomalies (tiny)."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        F.avg("value").over(w).alias("roll_mean"),
+        F.stddev_samp("value").over(w).alias("roll_std"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("roll_mean")) / F.col("roll_std")
+    return (
+        scored.filter(
+            (F.col("n_prior") >= 5) & (F.col("roll_std") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round("roll_mean", 6).alias("roll_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+EVENT_VALUE_ANOMALIES_SQL = """
+WITH scored AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         AVG(value) OVER w AS roll_mean,
+         STDDEV_SAMP(value) OVER w AS roll_std,
+         COUNT(*) OVER w AS n_prior
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value,
+       ROUND(roll_mean, 6) AS roll_mean,
+       ROUND((value - roll_mean) / roll_std, 6) AS zscore
+FROM scored
+WHERE n_prior >= 5 AND roll_std > 0
+  AND ABS((value - roll_mean) / roll_std) > 3
+"""
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retention
+    counted as distinct users active at each day offset — the
+    engagement table behind every growth dashboard.
+
+    Scale shape: the per-user-day distinct projection collapses raw
+    events FIRST (map-side combinable hash-agg — the big reduction
+    happens before any join); cohort assignment is an equi-join on
+    user_id against the (one row per user) first-seen aggregate —
+    both sides partition on user_id, so with AQE this is a
+    co-partitioned join; the final (cohort_day, offset) aggregate is
+    tiny. No window over the raw stream, no cross-day self-join."""
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = e.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+USER_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       date_diff('day', f.cohort_day, a.day) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL,
               "hourly+daily rollup in one shuffle via GROUPING SETS",
               ("events", "agg", "window")),
+    QuerySpec("event_value_anomalies", event_value_anomalies,
+              EVENT_VALUE_ANOMALIES_SQL,
+              "rolling z-score anomaly detection per user",
+              ("events", "window", "quality")),
+    QuerySpec("user_retention_cohorts", user_retention_cohorts,
+              USER_RETENTION_COHORTS_SQL,
+              "first-seen cohort retention by day offset",
+              ("events", "agg")),
     QuerySpec("purchases_after_clicks", purchases_after_clicks,
               PURCHASES_AFTER_CLICKS_SQL,
               "interval join: purchases within 1h after a click",

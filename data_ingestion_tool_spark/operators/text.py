@@ -827,11 +827,12 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8-byte fan-out, same trick as decontamination); doc-frequency is
     one hash-agg over the gram stream; the boilerplate set is tiny *by
     definition* (high-df grams are few — df ≥ 1% of a billion docs
-    admits only true templates), so it broadcasts back onto the gram
-    stream and the per-doc hit count is a second hash-agg on doc_id.
-    The corpus is never self-joined and never shuffled by gram twice.
-    n_docs rides along as a broadcast 1-row aggregate — no separate
-    driver job."""
+    admits only true templates), so it broadcasts back as a LEFT join
+    onto the gram stream and ONE doc_id hash-agg computes n_grams and
+    n_boiler together — no sizes branch, no doc_id join of two
+    aggregates. The corpus is never self-joined and never shuffled by
+    gram twice; n_docs rides along as a broadcast 1-row aggregate — no
+    separate driver job."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = d.select("doc_id", toks.alias("toks")).filter(
@@ -839,7 +840,6 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = _hashed_ngrams(_BOILER_N)
     grams = base.select("doc_id", F.explode(hashed).alias("gram"))
-    sizes = base.select("doc_id", F.size(hashed).alias("n_grams"))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     min_df = F.greatest(
         F.lit(2).cast("bigint"), F.ceil(F.lit(_BOILER_DF_FRAC) * F.col("n_docs"))
@@ -849,21 +849,23 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") >= min_df)
-        .select("gram")
+        .select("gram", F.lit(1).alias("is_boiler"))
     )
-    hits = (
-        grams.join(F.broadcast(boiler), "gram")
+    frac = F.col("n_boiler").cast("double") / F.col("n_grams")
+    return (
+        grams.join(F.broadcast(boiler), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
-    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
-    frac = n_boiler.cast("double") / F.col("n_grams")
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        n_boiler.alias("n_boiler"),
-        F.round(frac, 6).alias("boiler_frac"),
-        (frac < F.lit(_BOILER_KEEP_FRAC)).alias("keep"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac < F.lit(_BOILER_KEEP_FRAC)).alias("keep"),
+        )
     )
 
 
@@ -895,6 +897,72 @@ SELECT g.doc_id AS doc_id,
        CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(g.grams)
            < {_BOILER_KEEP_FRAC} AS keep
 FROM g LEFT JOIN hits h USING (doc_id)
+"""
+
+
+#: Vocabulary size for the OOV-rate operator.
+_VOCAB_SIZE = 100
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-V corpus vocabulary (count
+    desc, term asc — deterministic at the boundary) and score every
+    document's out-of-vocabulary token rate — the tokenizer-fit /
+    domain-shift signal you compute before committing 100 TB to a
+    tokenizer.
+
+    Scale shape: term counting is one map-side-combinable hash-agg;
+    the global top-V rank runs over the |vocabulary| aggregate (orders
+    of magnitude smaller than the corpus), and the V-row vocab
+    broadcasts onto the token stream — the corpus shuffles once (by
+    doc_id for the per-doc count), never by term twice."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = d.select("doc_id", F.explode(toks).alias("term"))
+    vocab = (
+        tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tokens.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_frac"),
+        )
+    )
+
+
+VOCAB_OOV_RATE_SQL = rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS tf,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+    FROM tokens GROUP BY term
+  ) WHERE rk <= {_VOCAB_SIZE}
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (v.term IS NULL) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (v.term IS NULL) AS DOUBLE) / COUNT(*), 6)
+           AS oov_frac
+FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY doc_id
 """
 
 
@@ -948,6 +1016,9 @@ SPECS: list[QuerySpec] = [
               DOC_SAMPLE_BALANCED_SQL,
               "deterministic md5-ordered per-language balanced sample",
               ("text",)),
+    QuerySpec("vocab_oov_rate", vocab_oov_rate, VOCAB_OOV_RATE_SQL,
+              "top-V vocabulary + per-doc out-of-vocabulary rate",
+              ("text", "llm")),
     QuerySpec("pack_token_budget", pack_token_budget, PACK_TOKEN_BUDGET_SQL,
               "greedy training-sequence packing via bucketed cumsum",
               ("text", "llm")),

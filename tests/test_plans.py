@@ -280,6 +280,7 @@ def test_boilerplate_never_self_joins_corpus(spark):
     assert "CartesianProduct" not in formatted_plan(df)
     rep = plan_report(df)
     assert rep.broadcast_exchanges >= 2
+    assert rep.sort_merge_joins == 0  # single doc_id agg, no branch join
     assert rep.map_in_pandas == 0
 
 
