@@ -747,6 +747,76 @@ kmeans_labels.__doc__ = kmeans_labels.__doc__.format(
 )
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k over **int8-quantized** vectors — the
+    memory-bound scale path: after unit-normalization every component
+    lies in [-1, 1], so a fixed symmetric scale (×127) quantizes with
+    NO statistics pass, and cos(a,b) ≈ (qa·qb)/127². An int8 index is
+    4× smaller than float32 (8× vs float64): at 100 TB of embeddings
+    that factor decides whether the candidate set fits executor memory
+    or spills.
+
+    Same partial-top-k shape as the exact operator (broadcast quantized
+    queries, per-batch integer GEMM, |Q|·k rows leave each batch); the
+    int32-accumulated matmul here stands in for the FBGEMM/VNNI int8
+    kernels a production deployment would JNI into."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def quantize(mat: "np.ndarray") -> "np.ndarray":
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return np.clip(np.rint(unit * 127.0), -127, 127).astype(np.int8)
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_q = quantize(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_q))
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mq = bc.value
+        mq32 = mq.astype(np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_c = pdf["vec_id"].to_numpy(np.int64)
+            mc = quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ).astype(np.int32)
+            scores = mc @ mq32.T  # int32 accumulate: |batch| × |Q|
+            scores = scores.astype(np.float64) / (127.0 * 127.0)
+            scores[ids_c[:, None] == ids_q[None, :]] = -np.inf
+            k = min(TOP_K, len(ids_c))
+            parts = []
+            for j, qid in enumerate(ids_q):
+                col = scores[:, j]
+                order = np.lexsort((ids_c, -col))[:k]
+                sel = order[np.isfinite(col[order])]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, np.int64),
+                            "neighbor_id": ids_c[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    partial = emb.mapInPandas(
+        stage, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("kmeans_labels", kmeans_labels, None,
               "distributed Lloyd's k-means (broadcast centroids + GEMM assign)",
@@ -755,6 +825,9 @@ SPECS: list[QuerySpec] = [
               "exact cosine top-k (broadcast brute force)", ("similarity",)),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None,
               "LSH-bucketed approximate cosine top-k", ("similarity",)),
+    QuerySpec("ann_quantized_topk", ann_quantized_topk, None,
+              "int8-quantized cosine top-k (4x memory, integer GEMM)",
+              ("similarity",)),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
               "IVF coarse-quantized approximate cosine top-k", ("similarity",)),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,

@@ -358,3 +358,19 @@ def test_approx_quantiles_rank_error_bound(spark):
             assert lo - slack <= target <= hi + slack, (
                 f"{flag} q={q}: est {got} rank [{lo},{hi}] vs target {target}"
             )
+
+
+def test_ann_quantized_recall_vs_bruteforce(spark):
+    """int8 symmetric quantization on unit vectors: ~1e-2 per-component
+    error barely perturbs cosine ordering — recall@k stays near exact."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        ann_quantized_topk,
+    )
+
+    exact = ann_bruteforce_topk(spark, SF_CORRECT).collect()
+    approx = ann_quantized_topk(spark, SF_CORRECT).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set) == len(exact_set)
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"quantized top-k recall {recall:.2f}"

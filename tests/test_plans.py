@@ -302,3 +302,62 @@ def test_winsorized_is_single_exchange(spark):
     rep = plan_report(REG["winsorized_prices"].builder(spark, SF_CORRECT))
     assert rep.exchanges == 1
     assert rep.map_in_pandas == 0
+
+
+def test_cbo_column_stats_flip_filtered_dim_to_broadcast(spark):
+    """Cost-based optimizer contract: without column statistics a
+    filtered dimension keeps its full relation size estimate (the
+    filter can't be costed) and sort-merge-joins; after ANALYZE ..
+    FOR ALL COLUMNS, ndv-based selectivity shrinks the estimate below
+    the broadcast threshold and the same query broadcast-joins. At
+    100 TB this is the difference between planning from reality and
+    planning from file sizes — keep stats fresh on dimension tables."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_CORRECT, "orders")
+    dim = o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    for _ in range(3):
+        dim = dim.unionAll(dim)
+    dim.write.mode("overwrite").saveAsTable("cbo_dim_t")
+    # fact must dwarf the threshold so only the dim side is a
+    # broadcast candidate
+    fact = load_table(spark, SF_CORRECT, "lineitem")
+    for _ in range(3):
+        fact = fact.unionAll(fact)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+
+    def join_plan() -> str:
+        d = spark.table("cbo_dim_t").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = fact.join(d, F.col("l_orderkey") == F.col("o_orderkey"))
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # between the no-stats estimate (~1.25 MB relation size) and
+        # the ndv-estimated post-filter size (~1.08 MB)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1150000")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        before = join_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        spark.sql("ANALYZE TABLE cbo_dim_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        after = join_plan()
+        assert "BroadcastHashJoin" in after
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
