@@ -2018,9 +2018,54 @@ GROUP BY l_returnflag
 """
 
 
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals: 8
+    buckets holding (near-)equal row counts, with each bucket's value
+    range — the optimizer-statistics / data-profiling companion to the
+    fixed-width `value_histogram` (skewed data collapses fixed-width
+    bins; equi-depth adapts bin edges to density).
+
+    Scale shape: `ntile` is one total-order window — a range-partition
+    sort, the same cost class as a global ORDER BY, and the honest
+    price of EXACT equi-depth. The approximate path at 100 TB is
+    `percentile_approx` on the same column (mergeable GK sketch, no
+    sort) — `agg_approx_quantiles` next door is exactly that."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            dec("o_totalprice").alias("price"),
+            F.ntile(8).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price").cast("double").alias("lo"),
+            F.max("price").cast("double").alias("hi"),
+        )
+    )
+
+
+EQUI_DEPTH_HISTOGRAM_SQL = """
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MIN(price) AS DOUBLE) AS lo,
+       CAST(MAX(price) AS DOUBLE) AS hi
+FROM (
+  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         NTILE(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("orders_customers_full", orders_customers_full,
               ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
+    QuerySpec("equi_depth_histogram", equi_depth_histogram,
+              EQUI_DEPTH_HISTOGRAM_SQL,
+              "equal-frequency 8-bucket histogram via ntile",
+              ("agg", "profiling")),
     QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
               ORDERS_SNAPSHOT_DIFF_SQL,
               "snapshot reconciliation: added/removed/changed diff",

@@ -817,10 +817,63 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Negatives per query for contrastive sampling.
+_NEG_K = 5
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: k
+    uniform negatives per query, chosen by md5(query‖candidate) order —
+    a pure function of the ids, so every re-run, backfill, and engine
+    draws the identical negatives (`rand()` would not), and the oracle
+    can verify the exact sample.
+
+    Scale shape: the query set broadcasts (bounded fan-out |Q| per
+    candidate row); rank ≤ k over the hash order compiles to partial +
+    final WindowGroupLimit, so each map task forwards k rows per query
+    and the shuffle carries O(partitions·|Q|·k), never N·|Q|. In-batch
+    positives are excluded by id inequality; similarity-aware "hard"
+    negatives are a different operator (score-ordered, same shape)."""
+    emb = _emb(spark, sf_dir).select("vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = emb.select(F.col("vec_id").alias("neg_id"))
+    pick = F.md5(
+        F.concat_ws("_", F.col("query_id"), F.col("neg_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(pick.alias("pick"))
+    return (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .select("query_id", "neg_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _NEG_K)
+    )
+
+
+CONTRASTIVE_NEGATIVES_SQL = f"""
+SELECT query_id, neg_id, rk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY md5(CAST(q.vec_id AS VARCHAR) || '_'
+                        || CAST(c.vec_id AS VARCHAR))
+         ) AS rk
+  FROM embeddings c
+  JOIN (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+    ON c.vec_id <> q.vec_id
+) WHERE rk <= {_NEG_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("kmeans_labels", kmeans_labels, None,
               "distributed Lloyd's k-means (broadcast centroids + GEMM assign)",
               ("similarity", "ml")),
+    QuerySpec("contrastive_negatives", contrastive_negatives,
+              CONTRASTIVE_NEGATIVES_SQL,
+              "deterministic hash-ordered negative sampling per query",
+              ("similarity", "llm")),
     QuerySpec("ann_bruteforce_topk", ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL,
               "exact cosine top-k (broadcast brute force)", ("similarity",)),
     QuerySpec("ann_lsh_topk", ann_lsh_topk, None,

@@ -164,3 +164,52 @@ def compact_files(
     shutil.rmtree(old)
     after = len([n for n in os.listdir(path) if n.endswith(".parquet")])
     return len(names), after
+
+
+class AuditFailure(RuntimeError):
+    """A write-audit-publish validation check failed; nothing was
+    published."""
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    *,
+    checks: list,
+    n_files: int | None = None,
+) -> int:
+    """Exactly-once batch publish: WRITE to a staging directory, AUDIT
+    the staged data with validation checks, then PUBLISH via an atomic
+    directory rename — readers never observe a half-written or invalid
+    table, and a failed audit leaves the previous published state (if
+    any) untouched.
+
+    ``checks`` is a list of ``(name, fn)`` where ``fn(staged_df) ->
+    bool``; all run against the STAGED files (what readers would get,
+    not the in-memory plan — this catches write-path bugs too). Raises
+    :class:`AuditFailure` naming the failed check. Returns the
+    published row count.
+
+    This is the pattern behind Iceberg/Delta WAP branches, expressed on
+    plain directories: the rename is metadata-only on any real
+    filesystem (same-volume POSIX rename, HDFS rename; on S3 the
+    equivalent is a prefix swap in the table catalog)."""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "__staging"
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    for name, fn in checks:
+        if not fn(staged):
+            raise AuditFailure(f"audit check failed: {name}")
+    n = staged.count()
+    old = None
+    if os.path.exists(path):
+        old = path.rstrip("/") + "__prev"
+        os.rename(path, old)
+    os.rename(staging, path)
+    if old is not None:
+        import shutil
+
+        shutil.rmtree(old)
+    return n

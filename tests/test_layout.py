@@ -110,3 +110,40 @@ def test_compact_preserves_sort_clustering(spark, tmp_path):
     )
     assert tot >= 2
     assert hit <= max(1, tot // 2)
+
+
+def test_write_audit_publish_blocks_bad_data(spark, tmp_path):
+    """Failed audit → AuditFailure, previously published data intact;
+    passing audit → atomic swap to the new snapshot."""
+    import pytest
+
+    from data_ingestion_tool_spark.sinks.layout import (
+        AuditFailure,
+        write_audit_publish,
+    )
+
+    path = str(tmp_path / "published")
+    good = spark.range(100).withColumnRenamed("id", "k")
+    n = write_audit_publish(
+        good,
+        path,
+        checks=[
+            ("nonempty", lambda d: d.count() > 0),
+            ("no_null_keys", lambda d: d.filter("k IS NULL").count() == 0),
+        ],
+    )
+    assert n == 100
+    assert spark.read.parquet(path).count() == 100
+
+    bad = spark.range(10).selectExpr("CAST(NULL AS LONG) AS k")
+    with pytest.raises(AuditFailure, match="no_null_keys"):
+        write_audit_publish(
+            bad,
+            path,
+            checks=[
+                ("nonempty", lambda d: d.count() > 0),
+                ("no_null_keys", lambda d: d.filter("k IS NULL").count() == 0),
+            ],
+        )
+    # the failed publish left the prior snapshot untouched
+    assert spark.read.parquet(path).count() == 100
