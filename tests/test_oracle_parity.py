@@ -61,6 +61,8 @@ EVENTS_QUERIES = sorted(
         "session_windows",
         "top_purchasers",
         "dedup_first_event",
+        "event_value_anomalies",
+        "user_retention_cohorts",
     )
     if REG[n].oracle is not None
 )
