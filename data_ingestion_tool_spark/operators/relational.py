@@ -1941,7 +1941,11 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, and the final hash-agg all partition on the SAME key,
     so Catalyst plans exactly one exchange — the bounds never round-trip
     through the driver and there is no self-join against a percentile
-    table."""
+    table. Caveat: a rank window over a LOW-cardinality key (3 flags
+    here) serializes each group into one task — exactness has that
+    price; at 100 TB with few groups, switch the bound computation to
+    ``percentile_approx`` (mergeable sketch, no per-group total order —
+    see agg_approx_quantiles) and keep the clamp/agg unchanged."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -2059,6 +2063,142 @@ GROUP BY bucket
 """
 
 
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value, kept only where the part
+    exceeds a fixed fraction of TOTAL stock value — the global
+    aggregate enters as a broadcast scalar, not a self-join or a
+    collected driver value.
+
+    Scale shape: one hash-agg by part; the grand total is a 1-row
+    aggregate over the SAME partial aggregates (Catalyst reuses the
+    scan via exchange reuse where possible) broadcast into the filter.
+    No second full scan is logically required, no driver round-trip."""
+    ps = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (dec("l_extendedprice") * F.col("l_quantity").cast("decimal(12,2)"))
+        .alias("val"),
+    )
+    per_part = ps.groupBy("l_partkey").agg(F.sum("val").alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.0005)
+        .select(
+            "l_partkey",
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PART_STOCK_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part, (SELECT SUM(part_value) AS total_value FROM per_part)
+WHERE part_value > total_value * 0.0005
+"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum 3-month
+    revenue — an aggregate-of-aggregate where the max enters as a
+    broadcast scalar against the per-supplier rollup (the classic
+    "create view revenue AS ..." query, inlined).
+
+    Scale shape: one shuffle (supplier hash-agg over the date-pruned
+    scan — the filter reaches the parquet footer), a 1-row max
+    broadcast back, decimal-exact revenue compare so ties are exact,
+    not float-fuzzy."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+        ).alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO orders
+    — an uncorrelated scalar subquery (the average enters as a
+    broadcast 1-row aggregate) composed with an anti-join.
+
+    Scale shape: the anti-join is a shuffle on custkey (or broadcast
+    of the order keys if small); the average never touches the driver.
+    Grouped by market segment to keep the output an aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.col("c_mktsegment").alias("segment")
+    )
+    # exact decimal sum / count as double — engine-native AVG(decimal)
+    # rounds at different scales across engines (boundary-flip risk)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / CAST(COUNT(*) AS DOUBLE)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("orders_customers_full", orders_customers_full,
               ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
@@ -2066,6 +2206,18 @@ SPECS: list[QuerySpec] = [
               EQUI_DEPTH_HISTOGRAM_SQL,
               "equal-frequency 8-bucket histogram via ntile",
               ("agg", "profiling")),
+    QuerySpec("important_part_stock", important_part_stock,
+              IMPORTANT_PART_STOCK_SQL,
+              "TPC-H Q11 shape: share-of-global-aggregate filter",
+              ("agg", "sql")),
+    QuerySpec("top_supplier_revenue", top_supplier_revenue,
+              TOP_SUPPLIER_REVENUE_SQL,
+              "TPC-H Q15 shape: argmax via broadcast scalar aggregate",
+              ("agg", "join", "sql")),
+    QuerySpec("idle_rich_customers", idle_rich_customers,
+              IDLE_RICH_CUSTOMERS_SQL,
+              "TPC-H Q22 shape: scalar subquery + anti-join aggregate",
+              ("join", "sql")),
     QuerySpec("orders_snapshot_diff", orders_snapshot_diff,
               ORDERS_SNAPSHOT_DIFF_SQL,
               "snapshot reconciliation: added/removed/changed diff",
