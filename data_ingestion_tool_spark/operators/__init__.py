@@ -22,10 +22,14 @@ from data_ingestion_tool_spark.operators import (
     similarity,
     skew,
     text,
+    tpch,
 )
 from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
-_MODULES = [relational, events, text, dedup, similarity, multimodal, skew, ingest, rangejoin]
+_MODULES = [
+    relational, events, text, dedup, similarity, multimodal, skew, ingest,
+    rangejoin, tpch,
+]
 
 #: First-50 pin list (driver correctness window). Keep this at exactly
 #: the entries that need fresh driver rows; tests assert every name

@@ -16,17 +16,33 @@ both shapes a scalable plan:
   runs only inside bucket collisions. The standard binned range-join
   rewrite (cf. interval joins in stream processors).
 
-Epoch arithmetic uses ``unix_micros`` (exact integers) so bucket
-assignment can't drift on sub-second timestamps.
+Epoch arithmetic uses exact integer microseconds so bucket assignment
+can't drift on sub-second timestamps: ``unix_micros`` for TIMESTAMP
+columns, ``timestampdiff`` from the NTZ epoch for TIMESTAMP_NTZ (which
+``unix_micros`` rejects at analysis time).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from data_ingestion_tool_spark.operators.base import QuerySpec
 from data_ingestion_tool_spark.sources.tables import load_table
+
+
+def _epoch_us(df: DataFrame, col: str) -> Column:
+    """Integer µs since epoch for an LTZ *or* NTZ timestamp column.
+
+    NTZ needs ``timestampdiff`` (tz-independent); LTZ keeps
+    ``unix_micros`` which returns the raw stored micros.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    return F.unix_micros(F.col(col))
 
 
 def asof_join(
@@ -128,20 +144,18 @@ def bucketed_range_join(
     def div(c: Column, d: int) -> Column:
         return F.floor(c / F.lit(d)).cast("long")
 
-    l_epoch = F.unix_micros(F.col(left_ts))
+    l_epoch = _epoch_us(left, left_ts)
+    r_epoch = _epoch_us(right, right_ts)
     l = left.withColumn(
         "_bucket",
         F.explode(
             F.sequence(div(l_epoch + lo_us, w_us), div(l_epoch + hi_us, w_us))
         ),
     )
-    r = right.withColumn("_bucket", div(F.unix_micros(F.col(right_ts)), w_us))
+    r = right.withColumn("_bucket", div(r_epoch, w_us))
     return (
         l.join(r, ["_bucket", *by])
-        .filter(
-            (F.unix_micros(F.col(right_ts)) >= l_epoch + lo_us)
-            & (F.unix_micros(F.col(right_ts)) <= l_epoch + hi_us)
-        )
+        .filter((r_epoch >= l_epoch + lo_us) & (r_epoch <= l_epoch + hi_us))
         .drop("_bucket")
     )
 

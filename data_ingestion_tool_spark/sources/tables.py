@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampType
 
 TABLE_NAMES = (
     "region",
@@ -44,22 +44,43 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Runtime-settable SQLConfs, set here rather than at session build:
+    # callers (the external harness included) may hand us an arbitrary
+    # unconfigured SparkSession. Naive parquet timestamps must arrive as
+    # TIMESTAMP_NTZ (DuckDB-oracle semantics — no session-tz shift), and
+    # a TIMESTAMP(NANOS) events file must not be rejected outright.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
-        # The events table is written with TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects outright unless this legacy
-        # conf is on. It is a runtime-settable SQLConf, so set it here
-        # rather than at session build: callers (the external harness
-        # included) may hand us an arbitrary unconfigured SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # With spark.sql.legacy.parquet.nanosAsLong the TIMESTAMP(NANOS)
-        # column arrives as long nanos; truncate to µs (DuckDB parity).
+        # Canonicalize ts to TIMESTAMP_NTZ no matter how this session's
+        # reader surfaced it; downstream operators see ONE type.
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
+            # nanosAsLong path (TIMESTAMP(NANOS) file): raw naive nanos.
             # Integer div, not `/`: float division of ~1e18 ns loses µs
-            # precision in the double mantissa.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # precision in the double mantissa. timestampadd onto an NTZ
+            # epoch is tz-independent (timestamp_micros would pin the
+            # naive value to UTC and shift under non-UTC sessions).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        elif isinstance(field, TimestampType):
+            # Session read naive micros as LTZ (inferTimestampNTZ off
+            # mid-flight): unix_micros returns the raw stored value, so
+            # this reconstructs the exact naive timestamp, any timezone.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 

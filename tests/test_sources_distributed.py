@@ -86,16 +86,41 @@ def test_real_xlsx_end_to_end_without_injected_parser(spark, tmp_path):
 
 def test_events_loads_on_unconfigured_session(spark):
     """Regression: the external harness builds its own SparkSession
-    without spark.sql.legacy.parquet.nanosAsLong; load_table must set
-    it at runtime or the TIMESTAMP(NANOS) events parquet is unreadable
-    (PARQUET_TYPE_ILLEGAL)."""
+    without our confs; load_table must canonicalize events.ts to
+    TIMESTAMP_NTZ at runtime whether the file stores TIMESTAMP(NANOS)
+    (round-1 testdata; PARQUET_TYPE_ILLEGAL without nanosAsLong) or
+    naive micros (current testdata), under any session settings."""
     from data_ingestion_tool_spark.sources.tables import load_table
 
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     df = load_table(spark, "/root/testdata/sf0.001", "events")
-    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
     assert df.count() > 0
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+    # An LTZ arrival (session read naive micros as TIMESTAMP) must
+    # reconstruct the exact naive value, not shift it by session tz.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        raw_ltz = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        if raw_ltz.schema["ts"].dataType.typeName() == "timestamp":
+            from data_ingestion_tool_spark.sources import tables as tables_mod
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import TimestampType
+
+            ltz_df = raw_ltz.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+            ntz = load_table(spark, "/root/testdata/sf0.001", "events")
+            a = ltz_df.select("event_id", "ts").orderBy("event_id").limit(5).collect()
+            b = ntz.select("event_id", "ts").orderBy("event_id").limit(5).collect()
+            assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
 
 def test_orc_roundtrip(spark, tmp_path):
