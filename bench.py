@@ -52,6 +52,9 @@ HEADLINE = [
     "heavy_hitter_terms",
     "boilerplate_ngram_flags",
     "winsorized_prices",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_last_shipper",
 ]
 
 

@@ -361,3 +361,53 @@ def test_cbo_column_stats_flip_filtered_dim_to_broadcast(spark):
             else:
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
+
+
+def test_tpch_q6_is_pure_pushdown_scan(spark):
+    """Q6's whole cost is the scan: all predicates pushed, 4 columns
+    read, no join, one single-row aggregate exchange."""
+    df = REG["tpch_q6_forecast_revenue"].builder(spark, SF_CORRECT)
+    assert_pushed_filter(df, "l_shipdate")
+    rep = plan_report(df)
+    assert rep.broadcast_hash_joins == 0
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges == 1
+    assert rep.read_schemas and "l_orderkey" not in rep.read_schemas[0]
+
+
+def test_tpch_dim_joins_all_broadcast(spark):
+    """Every TPC-H dim join rides a broadcast; no plan ever falls back
+    to a nested loop (the disjunctive Q19 predicate included)."""
+    for name, dims in (
+        ("tpch_q7_nation_trade_volume", 2),
+        ("tpch_q8_market_share", 3),
+        ("tpch_q10_returned_items", 2),
+        ("tpch_q17_small_qty_revenue", 1),
+        ("tpch_q19_disjunctive_revenue", 1),
+        ("tpch_q21_last_shipper", 1),
+    ):
+        rep = plan_report(REG[name].builder(spark, SF_CORRECT))
+        assert rep.broadcast_hash_joins >= dims, name
+        assert rep.nested_loop_joins == 0, name
+        assert rep.map_in_pandas == 0, name
+
+
+def test_tpch_q4_rewrites_exists_to_semi_join(spark):
+    """The EXISTS subquery must plan as a left-semi hash join (no
+    row-multiplying inner join + distinct, no nested loop)."""
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    df = REG["tpch_q4_late_order_priority"].builder(spark, SF_CORRECT)
+    text = formatted_plan(df)
+    assert "LeftSemi" in text
+    rep = plan_report(df)
+    assert rep.nested_loop_joins == 0
+
+
+def test_tpch_q10_finishes_with_take_ordered(spark):
+    """Top-20 must be TakeOrderedAndProject, never a global sort."""
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    df = REG["tpch_q10_returned_items"].builder(spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
