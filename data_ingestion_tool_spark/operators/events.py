@@ -493,10 +493,45 @@ GROUP BY 1, 2
 """
 
 
+def sketch_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-day HLL sketches of
+    active users, re-merged into per-event-type reach — the Apache
+    DataSketches pattern (``hll_sketch_agg`` / ``hll_union_agg``)
+    behind every incremental distinct-count warehouse rollup.
+
+    Why this beats ``COUNT(DISTINCT)`` at 100 TB: the daily sketch is
+    a few KB regardless of cardinality, daily jobs persist sketches
+    instead of user-id sets, and ANY later rollup (weekly, all-time,
+    cross-type) is a cheap sketch union — no re-scan of history, no
+    exact-distinct shuffle of raw ids. The two-level agg here
+    (day-sketch → union) exercises exactly that re-merge path.
+
+    Estimates are engine-specific → rows-only driver check; the ≤5%
+    error vs exact distinct is pytest-asserted."""
+    e = _events(spark, sf_dir).select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est_users"),
+        )
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL,
               "hourly+daily rollup in one shuffle via GROUPING SETS",
               ("events", "agg", "window")),
+    QuerySpec("sketch_user_reach", sketch_user_reach, None,
+              "per-day HLL sketches re-merged into per-type reach",
+              ("events", "agg", "sketch")),
     QuerySpec("event_value_anomalies", event_value_anomalies,
               EVENT_VALUE_ANOMALIES_SQL,
               "rolling z-score anomaly detection per user",

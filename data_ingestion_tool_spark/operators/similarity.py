@@ -866,7 +866,133 @@ SELECT query_id, neg_id, rk FROM (
 """
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_COSINE = NEAR_DUP_COSINE
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then search for
+    near-duplicates only WITHIN each cluster — turning the O(N²)
+    all-pairs problem into Σ O(n_c²), the approximation every
+    production semantic-dedup pipeline at 100 TB uses. Cross-cluster
+    near-dups are deliberately out of scope (that is the method).
+
+    Deterministic formulation so the DuckDB oracle can replay it
+    exactly: centroids are the k lowest vec_ids' vectors (fixed, no
+    Lloyd iterations — clustering quality is :func:`kmeans_labels`'s
+    job; THIS operator's contract is the cluster-then-dedup shape);
+    assignment is argmax cosine with ties to the lowest centroid id; a
+    vector is dropped iff some SAME-CLUSTER vector with a smaller
+    vec_id has cosine ≥ {t} with it (non-iterative keep rule).
+
+    Scale shape: the k×d centroid matrix broadcasts; assignment is one
+    ``mapInPandas`` GEMM pass; the within-cluster pair search is
+    ``applyInPandas`` per cluster — one shuffle on the cluster key,
+    per-executor memory bounded by the largest cluster (at 100 TB you
+    raise k until clusters fit; the reduction in pair candidates is
+    N²→N²/k for balanced clusters).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).orderBy("vec_id").toPandas()
+    c_mat = np.vstack(cents["embedding"].to_numpy()).astype(np.float64)
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(c_mat)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            m = m / norms
+            sims = m @ c.T
+            # np.argmax takes the FIRST max → ties go to the lowest
+            # centroid id, matching the oracle's ORDER BY sim DESC, cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": sims.argmax(axis=1).astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, cluster int, embedding array<float>"
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        m = m / norms
+        n = len(m)
+        # Row-blocked strictly-lower-triangle scan: each block GEMMs
+        # only against rows with smaller ids, so peak memory is
+        # block×n, never the full n×n similarity matrix.
+        blk = 1024
+        dup = np.zeros(n, dtype=bool)
+        for s in range(1, n, blk):
+            e = min(s + blk, n)
+            sims = m[s:e] @ m[:e].T  # (e-s) × e
+            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = ((sims >= _SEMDEDUP_COSINE) & lower).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cluster, "vec_id long, cluster int, keep boolean"
+    )
+
+
+semantic_dedup.__doc__ = semantic_dedup.__doc__.format(t=_SEMDEDUP_COSINE)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+), assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id AS dup_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[]))
+        >= {_SEMDEDUP_COSINE}
+)
+SELECT a.vec_id, a.cluster,
+       a.vec_id NOT IN (SELECT dup_id FROM dropped) AS keep
+FROM assigned a
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_SQL,
+              "SemDeDup: cluster-then-near-dup (N²/k pair reduction)",
+              ("similarity", "dedup")),
     QuerySpec("kmeans_labels", kmeans_labels, None,
               "distributed Lloyd's k-means (broadcast centroids + GEMM assign)",
               ("similarity", "ml")),

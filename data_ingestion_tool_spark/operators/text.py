@@ -1004,7 +1004,141 @@ SELECT doc_id, lang, source, rk FROM (
 """
 
 
+#: Temperature-mixing parameters: α < 1 upsamples small sources
+#: (multilingual-LM convention, e.g. mC4/XLM-R α=0.3–0.7); the target
+#: keeps ~30% of total corpus bytes.
+_MIX_ALPHA = 0.5
+_MIX_FRAC = 0.3
+_HEX = "0123456789abcdef"
+
+
+def _md5_uniform_expr(key_sql: str, *, duck: bool) -> str:
+    """A uniform-[0,1) draw from the first 6 md5 hex digits of a key —
+    bit-identical across Spark and DuckDB (the same trick as
+    :func:`doc_train_split`, widened from 1 digit to 24 bits)."""
+    if duck:
+        digit = (
+            "(strpos('{hex}', substr(md5(CAST({k} AS VARCHAR)), {i}, 1)) - 1)"
+        )
+    else:
+        digit = (
+            "(locate(substring(md5(cast({k} as string)), {i}, 1), '{hex}') - 1)"
+        )
+    terms = " + ".join(
+        digit.format(hex=_HEX, k=key_sql, i=i) + f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"(({terms}) / 16777216.0)"
+
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-mixing weights: weight ∝ bytes^α
+    (α={a}), normalized, plus the per-document keep probability that
+    realizes a {f:.0%}-of-corpus target. The mixture-design step of
+    every multilingual / multi-source LM data pipeline.
+
+    Scale shape: one map-side-combinable aggregate over the corpus
+    (|sources| rows out), a 1-row total broadcast back — the corpus is
+    scanned once and only source+n_chars columns are read."""
+    d = _docs(spark, sf_dir).select("source", "n_chars")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_bytes"),
+    )
+    tot = per_src.agg(
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.sqrt(F.col("n_bytes").cast("double"))).alias("z"),
+    )
+    w = F.sqrt(F.col("n_bytes").cast("double")) / F.col("z")
+    keep_p = F.least(
+        F.lit(1.0),
+        F.lit(_MIX_FRAC)
+        * F.col("total_bytes").cast("double")
+        * w
+        / F.col("n_bytes").cast("double"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        F.round(w, 8).alias("weight"),
+        F.round(keep_p, 8).alias("keep_p"),
+    )
+
+
+source_mixing_weights.__doc__ = source_mixing_weights.__doc__.format(
+    a=_MIX_ALPHA, f=_MIX_FRAC
+)
+
+
+SOURCE_MIXING_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_bytes) AS total_bytes,
+         SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
+  FROM per_src
+)
+SELECT source, n_docs, n_bytes,
+       ROUND(sqrt(CAST(n_bytes AS DOUBLE)) / z, 8) AS weight,
+       ROUND(LEAST(1.0, 0.3 * CAST(total_bytes AS DOUBLE)
+                        * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
+                        / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
+FROM per_src, tot
+"""
+
+
+def temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: keep each document with its
+    source's keep probability, decided by a DETERMINISTIC md5 draw on
+    doc_id — so the sample is a pure function of the corpus (re-runs,
+    backfills, and the oracle agree row-for-row; ``sample()``/``rand``
+    would not be replayable).
+
+    Scale shape: the |sources|-row probability table broadcasts onto
+    the corpus scan; the keep decision is a codegen'd hash compare —
+    one pass, no shuffle of the corpus, no Python."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    probs = source_mixing_weights(spark, sf_dir).select("source", "keep_p")
+    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
+    return (
+        d.join(F.broadcast(probs), "source")
+        .filter(u < F.col("keep_p"))
+        .select("doc_id", "source")
+    )
+
+
+TEMPERATURE_MIXED_SAMPLE_SQL = f"""
+WITH per_src AS (
+  SELECT source, SUM(n_chars) AS n_bytes FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_bytes) AS total_bytes,
+         SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
+  FROM per_src
+), probs AS (
+  SELECT source,
+         ROUND(LEAST(1.0, 0.3 * CAST(total_bytes AS DOUBLE)
+                          * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
+                          / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
+  FROM per_src, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN probs p ON d.source = p.source
+WHERE {_md5_uniform_expr('d.doc_id', duck=True)} < p.keep_p
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("source_mixing_weights", source_mixing_weights,
+              SOURCE_MIXING_WEIGHTS_SQL,
+              "temperature (bytes^alpha) source-mixing weight design",
+              ("text", "sampling")),
+    QuerySpec("temperature_mixed_sample", temperature_mixed_sample,
+              TEMPERATURE_MIXED_SAMPLE_SQL,
+              "deterministic temperature-mixed corpus sample",
+              ("text", "sampling")),
     QuerySpec("heavy_hitter_terms", heavy_hitter_terms, None,
               "Misra-Gries bounded-state heavy-hitter sketch",
               ("text", "sketch")),

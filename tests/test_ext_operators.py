@@ -374,3 +374,84 @@ def test_ann_quantized_recall_vs_bruteforce(spark):
     assert len(approx_set) == len(exact_set)
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, f"quantized top-k recall {recall:.2f}"
+
+
+def test_sketch_user_reach_error_bound(spark):
+    """HLL-sketch reach must land within 5% of exact distinct users
+    per event_type, and the daily→union re-merge must not lose days."""
+    from data_ingestion_tool_spark.operators.events import sketch_user_reach
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    est = {
+        r["event_type"]: (r["est_users"], r["n_days"])
+        for r in sketch_user_reach(spark, SF_CORRECT).collect()
+    }
+    e = load_table(spark, SF_CORRECT, "events")
+    exact = {
+        r["event_type"]: (r["n"], r["d"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, (n_est, n_days) in est.items():
+        n_exact, d_exact = exact[et]
+        assert n_days == d_exact, et
+        assert abs(n_est - n_exact) / n_exact <= 0.05, (et, n_est, n_exact)
+
+
+def test_semantic_dedup_drops_are_real_near_dups(spark):
+    """Every dropped vector must have a smaller-id same-cluster
+    near-dup; every kept vector must have none (spot-checked against
+    an exact numpy recomputation of its cluster)."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _SEMDEDUP_COSINE,
+        semantic_dedup,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    out = semantic_dedup(spark, SF_CORRECT).collect()
+    assert out and any(not r["keep"] for r in out)  # threshold does work
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r["vec_id"])
+        mats = np.vstack([emb[r["vec_id"]] for r in rows])
+        mats = mats / np.linalg.norm(mats, axis=1, keepdims=True)
+        sims = mats @ mats.T
+        for i, r in enumerate(rows):
+            has_dup = bool((sims[i, :i] >= _SEMDEDUP_COSINE).any())
+            assert has_dup == (not r["keep"]), r
+
+
+def test_temperature_mixed_sample_hits_target(spark):
+    """The deterministic sample must (a) be reproducible run-to-run,
+    (b) keep small sources at a HIGHER rate than large ones (the
+    point of alpha < 1), (c) land near the byte-fraction target."""
+    from data_ingestion_tool_spark.operators.text import (
+        source_mixing_weights,
+        temperature_mixed_sample,
+    )
+
+    a = {r["doc_id"] for r in temperature_mixed_sample(spark, SF_CORRECT).collect()}
+    b = {r["doc_id"] for r in temperature_mixed_sample(spark, SF_CORRECT).collect()}
+    assert a == b and a
+    w = source_mixing_weights(spark, SF_CORRECT).collect()
+    smallest = min(w, key=lambda r: r["n_bytes"])
+    largest = max(w, key=lambda r: r["n_bytes"])
+    assert smallest["keep_p"] > largest["keep_p"]
+    total = sum(r["n_docs"] for r in w)
+    # binomial slack around the 30% target at n≈500
+    assert 0.15 <= len(a) / total <= 0.45
