@@ -213,3 +213,66 @@ def write_audit_publish(
 
         shutil.rmtree(old)
     return n
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key: str,
+    n_shards: int,
+) -> DataFrame:
+    """Publish a training corpus as ``n_shards`` DETERMINISTIC shards
+    plus a manifest — the WebDataset/streaming-loader serving layout:
+    trainers open shards independently, resume by shard id, and verify
+    integrity against the manifest without listing the store.
+
+    Shard assignment is ``xxhash64(key) mod n`` — a pure function of
+    the data, so a re-run (or a second engine) produces byte-identical
+    shard membership; ``partitionBy`` writes each shard as its own
+    directory in ONE job. The manifest (one row per shard: rows, bytes,
+    key checksum) is built from filesystem listing + a per-shard
+    aggregate, and written next to the shards. Returns the manifest.
+
+    At 100 TB: n_shards scales with corpus bytes (shards of ~1-4 GB);
+    the single ``partitionBy`` write is shuffle-free (each task writes
+    its partitions' shard files), and the checksum aggregate is one
+    map-side-combinable pass.
+    """
+    spark = df.sparkSession
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
+    )
+    data_dir = os.path.join(path, "data")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
+    # rows + order-insensitive key checksum per shard, from the STAGED
+    # files (catches write-path corruption, not just plan output)
+    staged = spark.read.parquet(data_dir)
+    stats = (
+        staged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # xor, not sum: order-insensitive AND overflow-free under ANSI
+            F.expr(f"bit_xor(xxhash64({key}))").alias("key_checksum"),
+        )
+    )
+    bytes_by_shard = {}
+    for d in os.listdir(data_dir):
+        if not d.startswith("shard="):
+            continue
+        sid = int(d.split("=", 1)[1])
+        full = os.path.join(data_dir, d)
+        bytes_by_shard[sid] = sum(
+            os.path.getsize(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    b = spark.createDataFrame(
+        [(k, v) for k, v in sorted(bytes_by_shard.items())],
+        "shard int, n_bytes long",
+    )
+    manifest = stats.join(b, "shard").orderBy("shard")
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "manifest")
+    )
+    return spark.read.parquet(os.path.join(path, "manifest"))

@@ -147,3 +147,35 @@ def test_write_audit_publish_blocks_bad_data(spark, tmp_path):
         )
     # the failed publish left the prior snapshot untouched
     assert spark.read.parquet(path).count() == 100
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard membership is a pure function of the key (re-run
+    identical), the manifest accounts for every row, and every shard
+    directory the manifest lists exists with that many rows."""
+    import os
+
+    from data_ingestion_tool_spark.sinks.layout import write_training_shards
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "corpus")
+    m1 = write_training_shards(docs, out, key="doc_id", n_shards=4).collect()
+    total = docs.count()
+    assert sum(r["n_rows"] for r in m1) == total
+    assert {r["shard"] for r in m1} <= set(range(4))
+    assert all(r["n_bytes"] > 0 for r in m1)
+
+    out2 = str(tmp_path / "corpus2")
+    m2 = write_training_shards(docs, out2, key="doc_id", n_shards=4).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == total
+    per_shard = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_shard == {r["shard"]: r["n_rows"] for r in m1}

@@ -411,3 +411,40 @@ def test_tpch_q10_finishes_with_take_ordered(spark):
 
     df = REG["tpch_q10_returned_items"].builder(spark, SF_CORRECT)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_no_unbounded_pair_enumeration_anywhere(spark):
+    """Registry-wide scale contract: NO query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear only in
+    the whitelisted bounded patterns — 1-row/dim-sized broadcast
+    scalars (share-of-total, n_docs, mixing weights), the documented
+    theta join, the intentional tiny cross join, and the bounded |Q|
+    fan-out. Any new operator that plans an unbounded pair
+    enumeration fails here by default."""
+    import re
+
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    BOUNDED_BNLJ = {
+        "tfidf_top_terms",          # 1-row n_docs broadcast
+        "important_part_stock",     # 1-row total broadcast (Q11)
+        "idle_rich_customers",      # 1-row avg broadcast (Q22)
+        "supplier_balance_pairs",   # documented theta join
+        "region_nation_cross",      # intentional 5x25 cross
+        "source_mixing_weights",    # 1-row totals broadcast
+        "temperature_mixed_sample", # 1-row totals broadcast
+        "boilerplate_ngram_flags",  # 1-row n_docs broadcast
+        "contrastive_negatives",    # bounded |Q| broadcast fan-out
+        "join_key_skew_profile",    # 1-row totals broadcast
+    }
+    offenders = {}
+    for name, spec in REG.items():
+        text = formatted_plan(spec.builder(spark, SF_CORRECT))
+        if re.search(r"\(\d+\) CartesianProduct", text):
+            offenders[name] = "CartesianProduct"
+        elif (
+            re.search(r"\(\d+\) BroadcastNestedLoopJoin", text)
+            and name not in BOUNDED_BNLJ
+        ):
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
