@@ -1130,7 +1130,74 @@ WHERE {_md5_uniform_expr('d.doc_id', duck=True)} < p.keep_p
 """
 
 
+_EMBED_DIM = 64
+
+
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick,
+    Weinberger et al. 2009 — the stateless featurizer production
+    pipelines use when a model pass is too expensive): each token
+    hashes to one of {d} buckets with a ±1 sign hash, bucket values
+    are signed term counts, the vector is L2-normalized. Bridges the
+    text tier into the vector tier (the ANN / near-dup / clustering
+    operators run unchanged on this output).
+
+    Scale shape: 100% JVM — explode → two hash-aggregates (token
+    bucket sum, then map_from_entries per doc) → a sequence/transform
+    densify; no Python, no vocabulary state, no driver collection.
+    The vocabulary-free property is the point at 100 TB: no fit step,
+    no dictionary broadcast, append-only safe.
+
+    xxhash64 is engine-specific → rows-only driver check; determinism,
+    dimension, and unit-norm invariants are pytest-asserted."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    h = F.xxhash64(F.col("term"))
+    signed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(_EMBED_DIM)).cast("int").alias("idx"),
+        F.when(F.pmod(F.xxhash64(F.col("term"), F.lit(1)), 2) == 0, 1.0)
+        .otherwise(-1.0)
+        .alias("sign"),
+    )
+    buckets = signed.groupBy("doc_id", "idx").agg(F.sum("sign").alias("v"))
+    dense = (
+        buckets.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "v"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return dense.select(
+        "doc_id",
+        F.transform(
+            F.col("raw"),
+            lambda x: F.when(nrm > 0, x / nrm).otherwise(x),
+        ).alias("embedding"),
+    )
+
+
+embed_documents.__doc__ = embed_documents.__doc__.format(d=_EMBED_DIM)
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("embed_documents", embed_documents, None,
+              "vocabulary-free feature-hashing doc embeddings (JVM-only)",
+              ("text", "similarity", "ml")),
     QuerySpec("source_mixing_weights", source_mixing_weights,
               SOURCE_MIXING_WEIGHTS_SQL,
               "temperature (bytes^alpha) source-mixing weight design",

@@ -455,3 +455,25 @@ def test_temperature_mixed_sample_hits_target(spark):
     total = sum(r["n_docs"] for r in w)
     # binomial slack around the 30% target at n≈500
     assert 0.15 <= len(a) / total <= 0.45
+
+
+def test_embed_documents_invariants(spark):
+    """Hashed embeddings: deterministic across runs, fixed dimension,
+    unit-norm for any non-empty document, and JVM-only (no Python
+    stage in the plan)."""
+    import math
+
+    from data_ingestion_tool_spark.operators.text import _EMBED_DIM, embed_documents
+    from data_ingestion_tool_spark.plans import plan_report
+
+    df = embed_documents(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+    rows = {r["doc_id"]: r["embedding"] for r in df.collect()}
+    assert rows
+    again = {r["doc_id"]: r["embedding"] for r in embed_documents(spark, SF_CORRECT).collect()}
+    assert rows == again
+    for vec in list(rows.values())[:50]:
+        assert len(vec) == _EMBED_DIM
+        n = math.sqrt(sum(x * x for x in vec))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
