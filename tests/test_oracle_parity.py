@@ -84,3 +84,52 @@ def test_events_queries_match_oracle_at_sf01(spark, name):
     problems = compare(sdf, ddf)
     con.close()
     assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
+
+
+#: Date/time-sensitive queries that round 1 proved are the
+#: session-dependence risk surface.
+_TZ_SENSITIVE = [
+    n
+    for n in (
+        "pricing_summary",
+        "asof_last_event",
+        "tumbling_hourly",
+        "session_windows",
+        "scd2_user_history",
+        "user_retention_cohorts",
+        "tpch_q10_returned_items",
+        "events_gap_fill",
+    )
+    if REG[n].oracle is not None
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_parity_survives_foreign_session_timezone(spark, duck, name):
+    """The external harness builds its OWN SparkSession (round 1's only
+    systemic failure was session-dependence). Re-run the date/time
+    -sensitive oracle queries on a fresh session pinned to a non-UTC
+    timezone: results must still hash-match DuckDB, proving the NTZ
+    canonicalization makes every query timezone-independent."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = REG[name]
+        sdf = spec.builder(ns, SF_CORRECT)
+        ddf = duck.execute(spec.oracle).df()
+        problems = compare(sdf, ddf)
+        assert not problems, f"{name}@NY-tz: " + "; ".join(problems)
+    finally:
+        ns.conf.unset("spark.sql.session.timeZone")
+
+
+def test_python_stage_ops_run_on_foreign_session(spark):
+    """The Arrow/pandas-stage operators (broadcast state + UDF-backed)
+    must also run under an arbitrarily-configured external session."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        for name in ("semantic_dedup", "ann_bruteforce_topk", "kmeans_labels"):
+            assert REG[name].builder(ns, SF_CORRECT).count() > 0, name
+    finally:
+        ns.conf.unset("spark.sql.session.timeZone")
