@@ -408,9 +408,20 @@ def ann_ivf_topk_indexed(
     )
 
 
+#: Above this the broadcast kernel's collected matrix stops fitting an
+#: executor (64-dim float64 ≈ 512 B/vector → ~0.5 GB at 1M) and the
+#: operator auto-delegates to the grid-blocked no-broadcast path.
+_BROADCAST_MAX_VECTORS = 1_000_000
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ threshold — embedding-space near-dup
-    detection. Exact, computed as a broadcast matrix product:
+    detection. Exact, computed as a broadcast matrix product, with a
+    SIZE GUARD: if the table exceeds ``_BROADCAST_MAX_VECTORS`` (one
+    metadata-only parquet count), it delegates to
+    :func:`embedding_near_dup_blocked` instead of collecting — the
+    same auto-demotion a planner applies when a build side outgrows
+    the broadcast threshold. Both paths share one oracle.
 
     - One side is collected (Arrow) to an n×d float64 matrix and
       broadcast — the vector twin of a broadcast-hash join build side.
@@ -431,6 +442,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    if emb.count() > _BROADCAST_MAX_VECTORS:
+        return embedding_near_dup_blocked(spark, sf_dir)
 
     def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         ids = pdf["vec_id"].to_numpy(np.int64)
