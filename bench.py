@@ -55,6 +55,10 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q21_last_shipper",
+    "semantic_dedup",
+    "embed_documents",
+    "media_dedup_exact",
+    "temperature_mixed_sample",
 ]
 
 

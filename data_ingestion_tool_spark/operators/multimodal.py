@@ -441,10 +441,45 @@ FROM (
 """
 
 
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: md5 over the raw payload BYTES — duplicates
+    are found without ever decoding (the first pass every multimodal
+    corpus pipeline runs; decode-free means the codec tier never sees
+    redundant bytes). Canonical member = lexicographically-lowest
+    media_id per digest (media ids are opaque strings at scale, so
+    string order IS the deterministic choice; mirrored in the oracle).
+
+    Scale shape: one hash-aggregate on the 16-byte digest — the
+    payload column is read once, the shuffle carries digests + ids
+    only, never payload bytes."""
+    m = media_table_from_documents(spark, sf_dir)
+    return (
+        m.select("media_id", F.md5(F.col("payload")).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+MEDIA_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest,
+       MIN(CAST(doc_id AS VARCHAR)) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 def _specs():
     from data_ingestion_tool_spark.operators.base import QuerySpec
 
     return [
+        QuerySpec("media_dedup_exact", media_dedup_exact,
+                  MEDIA_DEDUP_EXACT_SQL,
+                  "decode-free exact payload dedup (md5 digest hash-agg)",
+                  ("multimodal", "dedup")),
         QuerySpec("media_decode_shapes", media_decode_shapes,
                   MEDIA_DECODE_SHAPES_SQL,
                   "binary payload → decoded image shape (mapInPandas stub codec)",

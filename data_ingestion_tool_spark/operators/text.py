@@ -1155,11 +1155,12 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
+    # one hash per token: low 6 bits pick the bucket, bit 6 the sign
     h = F.xxhash64(F.col("term"))
     signed = toks.select(
         "doc_id",
         F.pmod(h, F.lit(_EMBED_DIM)).cast("int").alias("idx"),
-        F.when(F.pmod(F.xxhash64(F.col("term"), F.lit(1)), 2) == 0, 1.0)
+        F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0, 1.0)
         .otherwise(-1.0)
         .alias("sign"),
     )
@@ -1179,14 +1180,18 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw"),
         )
     )
-    nrm = F.sqrt(
-        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)
+    # materialize the norm in its own select so it's computed once per
+    # row, not once per array element inside the transform lambda
+    # (same pattern as similarity._normalized)
+    with_norm = dense.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)),
     )
-    return dense.select(
+    return with_norm.select(
         "doc_id",
         F.transform(
             F.col("raw"),
-            lambda x: F.when(nrm > 0, x / nrm).otherwise(x),
+            lambda x: F.when(F.col("nrm") > 0, x / F.col("nrm")).otherwise(x),
         ).alias("embedding"),
     )
 
