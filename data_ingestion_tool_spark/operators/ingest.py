@@ -56,8 +56,116 @@ FROM lineitem
 """
 
 
+def dq_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders whose customer key resolves
+    to no customer row — the foreign-key check a warehouse runs after
+    every load (the reference has no cross-row checks at all; its
+    validation is per-cell, box_ingest.py:88-121).
+
+    Scale shape: LEFT ANTI join — the parent side is dim-sized and
+    broadcasts; violations (normally ~0 rows) aggregate to one row per
+    offending key. Never a row-multiplying join."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+DQ_ORPHAN_ORDERS_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orphans
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+GROUP BY o_custkey
+"""
+
+
+def dq_duplicate_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: (orderkey, linenumber) pairs that
+    appear more than once. One combinable hash-agg + HAVING — the
+    shuffle carries one row per key, violations usually zero.
+
+    An empty result IS the passing state; the driver compare treats
+    0 == 0 rows as a hash match, so the audit is still externally
+    verified."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+DQ_DUPLICATE_LINENUMBERS_SQL = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1, 2
+HAVING COUNT(*) > 1
+"""
+
+
+def dq_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain audit: per-column out-of-bounds counts for the business
+    rules the testdata schema implies (quantities in [1,50], discounts
+    in [0,0.1], non-negative prices) — ONE aggregate scan produces the
+    whole scorecard (conditional sums, map-side combinable), never one
+    job per rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = [
+        ("quantity_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ("price_nonneg", F.col("l_extendedprice") < 0),
+        ("tax_nonneg", F.col("l_tax") < 0),
+    ]
+    row = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in bad
+        ],
+    )
+    return row.unpivot(
+        ["n_rows"], [name for name, _ in bad], "rule", "n_violations"
+    ).select("rule", "n_violations", "n_rows")
+
+
+DQ_VALUE_BOUNDS_SQL = """
+WITH scorecard AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+             AS quantity_range,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+             AS discount_range,
+         SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS price_nonneg,
+         SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS tax_nonneg
+  FROM lineitem
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows FROM (
+  SELECT 'quantity_range' AS rule, quantity_range AS n_violations, n_rows FROM scorecard
+  UNION ALL
+  SELECT 'discount_range', discount_range, n_rows FROM scorecard
+  UNION ALL
+  SELECT 'price_nonneg', price_nonneg, n_rows FROM scorecard
+  UNION ALL
+  SELECT 'tax_nonneg', tax_nonneg, n_rows FROM scorecard
+)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("validate_lineitem", validate_lineitem, VALIDATE_LINEITEM_SQL,
               "metadata-compiled validation (the reference's row loop, "
               "vectorized)", ("ingest", "flagship")),
+    QuerySpec("dq_orphan_orders", dq_orphan_orders, DQ_ORPHAN_ORDERS_SQL,
+              "FK audit: anti-join orphan detection", ("ingest", "dq")),
+    QuerySpec("dq_duplicate_linenumbers", dq_duplicate_linenumbers,
+              DQ_DUPLICATE_LINENUMBERS_SQL,
+              "PK uniqueness audit via HAVING hash-agg", ("ingest", "dq")),
+    QuerySpec("dq_value_bounds", dq_value_bounds, DQ_VALUE_BOUNDS_SQL,
+              "one-scan domain-rule scorecard (conditional sums)",
+              ("ingest", "dq")),
 ]

@@ -906,13 +906,34 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise k until clusters fit; the reduction in pair candidates is
     N²→N²/k for balanced clusters).
     """
+    return semdedup(_emb(spark, sf_dir).select("vec_id", "embedding"))
+
+
+semantic_dedup.__doc__ = semantic_dedup.__doc__.format(t=_SEMDEDUP_COSINE)
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = _SEMDEDUP_K,
+    threshold: float = _SEMDEDUP_COSINE,
+) -> DataFrame:
+    """The reusable SemDeDup kernel behind :func:`semantic_dedup` (and
+    the text-side ``text_semantic_dedup``): any ``(id, embedding)``
+    DataFrame in → ``(id, cluster, keep)`` out. Centroids are the k
+    lowest-id vectors; see :func:`semantic_dedup` for the method and
+    scale notes."""
     import pandas as pd
     from collections.abc import Iterator
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") < _SEMDEDUP_K).orderBy("vec_id").toPandas()
+    spark = df.sparkSession
+    emb = df.select(F.col(id_col), F.col("embedding"))
+    cents = emb.orderBy(id_col).limit(k).toPandas()
     c_mat = np.vstack(cents["embedding"].to_numpy()).astype(np.float64)
-    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_norms[c_norms == 0.0] = 1.0
+    c_mat = c_mat / c_norms
     bc = spark.sparkContext.broadcast(c_mat)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -929,18 +950,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # centroid id, matching the oracle's ORDER BY sim DESC, cid
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"],
+                    id_col: pdf[id_col],
                     "cluster": sims.argmax(axis=1).astype(np.int32),
                     "embedding": pdf["embedding"],
                 }
             )
 
     assigned = emb.mapInPandas(
-        assign, "vec_id long, cluster int, embedding array<float>"
+        assign, f"{id_col} long, cluster int, embedding array<float>"
     )
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -955,21 +976,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = min(s + blk, n)
             sims = m[s:e] @ m[:e].T  # (e-s) × e
             lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
-            dup[s:e] = ((sims >= _SEMDEDUP_COSINE) & lower).any(axis=1)
+            dup[s:e] = ((sims >= threshold) & lower).any(axis=1)
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"],
+                id_col: pdf[id_col],
                 "cluster": pdf["cluster"],
                 "keep": ~dup,
             }
         )
 
     return assigned.groupBy("cluster").applyInPandas(
-        dedup_cluster, "vec_id long, cluster int, keep boolean"
+        dedup_cluster, f"{id_col} long, cluster int, keep boolean"
     )
-
-
-semantic_dedup.__doc__ = semantic_dedup.__doc__.format(t=_SEMDEDUP_COSINE)
 
 
 SEMANTIC_DEDUP_SQL = f"""

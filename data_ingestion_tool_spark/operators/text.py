@@ -1199,7 +1199,39 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 embed_documents.__doc__ = embed_documents.__doc__.format(d=_EMBED_DIM)
 
 
+_TEXT_SEMDEDUP_COSINE = 0.95
+
+
+def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup of the TEXT corpus: hash-embed every
+    document (:func:`embed_documents`, no model, no fit) and run the
+    SemDeDup cluster-then-near-dup kernel over the result — the full
+    composed pipeline (featurize → cluster → within-cluster dedup) as
+    ONE lazy plan; nothing materializes between stages.
+
+    Cosine {t} on hashed bag-of-words embeddings ≈ near-identical
+    token multisets: exact duplicates score 1.0, light edits stay
+    above the bar, unrelated docs fall far below. Rows-only driver
+    check (hash/GEMM are engine-specific); the exact-duplicate
+    containment invariant is pytest-asserted."""
+    from data_ingestion_tool_spark.operators.similarity import semdedup
+
+    return semdedup(
+        embed_documents(spark, sf_dir),
+        id_col="doc_id",
+        threshold=_TEXT_SEMDEDUP_COSINE,
+    )
+
+
+text_semantic_dedup.__doc__ = text_semantic_dedup.__doc__.format(
+    t=_TEXT_SEMDEDUP_COSINE
+)
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("text_semantic_dedup", text_semantic_dedup, None,
+              "composed featurize → SemDeDup over the text corpus",
+              ("text", "dedup", "similarity")),
     QuerySpec("embed_documents", embed_documents, None,
               "vocabulary-free feature-hashing doc embeddings (JVM-only)",
               ("text", "similarity", "ml")),

@@ -477,3 +477,32 @@ def test_embed_documents_invariants(spark):
         assert len(vec) == _EMBED_DIM
         n = math.sqrt(sum(x * x for x in vec))
         assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def test_text_semantic_dedup_on_planted_corpus(spark, tmp_path):
+    """Plant a corpus with an exact duplicate and a light edit of a
+    non-centroid doc: both must drop (cosine 1.0 / ~0.98 on hashed
+    embeddings), distinct docs survive, lowest id is canonical. Docs
+    0-7 are the centroids (k=8), so the dup group at ids 8-10 expresses
+    the within-cluster path, not the degenerate self-centroid case."""
+    from data_ingestion_tool_spark.operators.text import text_semantic_dedup
+
+    texts = [" ".join(f"fam{f}tok{i}" for i in range(40)) for f in range(8)]
+    shared = texts[0] + " " + " ".join(f"tail{i}" for i in range(10))
+    edited = shared.replace("tail7", "changed")
+    rows = texts + [shared, shared, edited,
+                    " ".join(f"solo{i}" for i in range(40))]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in text_semantic_dedup(spark, sf_dir).collect()}
+    assert set(out) == set(range(12))
+    assert out[8]["keep"]                       # canonical survives
+    assert not out[9]["keep"]                   # exact dup dropped
+    assert out[9]["cluster"] == out[8]["cluster"]
+    assert not out[10]["keep"]                  # light edit dropped
+    assert all(out[i]["keep"] for i in (*range(8), 11))  # distinct survive
