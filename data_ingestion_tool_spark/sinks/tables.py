@@ -117,23 +117,29 @@ def write_split(
     """Write a validation split: valid → table, invalid → table_error.
 
     Counts both sides (for the completion log, reference
-    box_ingest.py:176) while writing each side once.
+    box_ingest.py:176) without caching either:
+
+    - The HOT side (valid ≈ all rows) is counted by ``observe`` riding
+      the write job itself — one pass, no persist. At 100 TB a
+      ``persist()`` of the valid stream would spill the whole table to
+      executor disk just to count it.
+    - The cold side (invalid ≈ 0 rows) keeps count-then-write (the
+      error table must not be created when there are no errors —
+      reference parity); its recompute is one more scan of the input,
+      cheaper than materializing a cache.
     """
-    valid = valid.persist()
-    invalid = invalid.persist()
-    try:
-        n_valid = valid.count()
-        n_invalid = invalid.count()
-        if n_valid:
-            append_table(valid, table_name, catalog=catalog, schema=schema)
-        if n_invalid:
-            append_table(
-                invalid, f"{table_name}_error", catalog=catalog, schema=schema
-            )
-        return n_valid, n_invalid
-    finally:
-        valid.unpersist()
-        invalid.unpersist()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = valid.observe(obs, F.count(F.lit(1)).alias("n"))
+    append_table(observed, table_name, catalog=catalog, schema=schema)
+    n_valid = int(obs.get["n"])
+    n_invalid = invalid.count()
+    if n_invalid:
+        append_table(
+            invalid, f"{table_name}_error", catalog=catalog, schema=schema
+        )
+    return n_valid, n_invalid
 
 
 def append_just_copy(
