@@ -156,7 +156,75 @@ SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows FROM (
 """
 
 
+_PSI_BIN_WIDTH = 20000
+_PSI_CUTOVER = "1998-01-01"
+
+
+def dq_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor: Population Stability Index of the order
+    price distribution, base period vs current (cutover {c}) — the
+    standard ML-ops drift score (PSI < 0.1 stable, > 0.25 retrain).
+
+    Scale shape: ONE conditional hash-aggregate builds both periods'
+    histograms simultaneously (never two scans); totals ride a 1-row
+    broadcast; additive-0.5 smoothing keeps empty bins defined. The
+    whole scorecard is a |bins|-row intermediate regardless of table
+    size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderdate") < _PSI_CUTOVER, 1).otherwise(0).alias("is_base"),
+        F.floor(F.col("o_totalprice") / _PSI_BIN_WIDTH).cast("long").alias("bin"),
+    )
+    bins = o.groupBy("bin").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_cur"),
+    )
+    tot = bins.agg(
+        F.sum("n_base").alias("tot_base"),
+        F.sum("n_cur").alias("tot_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    p = (F.col("n_base") + 0.5) / (F.col("tot_base") + 0.5 * F.col("k"))
+    q = (F.col("n_cur") + 0.5) / (F.col("tot_cur") + 0.5 * F.col("k"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(((p - q) * F.log(p / q)).alias("contrib"), "k")
+        .groupBy("k")
+        .agg(F.round(F.sum("contrib"), 6).alias("psi"))
+        .select(F.col("k").alias("n_bins"), "psi")
+    )
+
+
+dq_price_drift_psi.__doc__ = dq_price_drift_psi.__doc__.format(c=_PSI_CUTOVER)
+
+
+DQ_PRICE_DRIFT_PSI_SQL = f"""
+WITH bins AS (
+  SELECT CAST(FLOOR(o_totalprice / {_PSI_BIN_WIDTH}) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '{_PSI_CUTOVER}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '{_PSI_CUTOVER}'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tot_base,
+         CAST(SUM(n_cur) AS BIGINT) AS tot_cur,
+         COUNT(*) AS k
+  FROM bins
+)
+SELECT k AS n_bins,
+       ROUND(SUM(((n_base + 0.5) / (tot_base + 0.5 * k)
+                  - (n_cur + 0.5) / (tot_cur + 0.5 * k))
+                 * LN(((n_base + 0.5) / (tot_base + 0.5 * k))
+                      / ((n_cur + 0.5) / (tot_cur + 0.5 * k)))), 6) AS psi
+FROM bins, tot
+GROUP BY k
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("dq_price_drift_psi", dq_price_drift_psi, DQ_PRICE_DRIFT_PSI_SQL,
+              "PSI drift score: one-scan dual-period histogram",
+              ("ingest", "dq", "ml")),
     QuerySpec("validate_lineitem", validate_lineitem, VALIDATE_LINEITEM_SQL,
               "metadata-compiled validation (the reference's row loop, "
               "vectorized)", ("ingest", "flagship")),

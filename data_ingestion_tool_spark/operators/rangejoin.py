@@ -192,6 +192,63 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store pattern):
+    every purchase gets the user's most recent click STRICTLY BEFORE
+    it — never a feature from the future, never label leakage. This is
+    the training-set assembly join every ML platform must get right;
+    the naive inner-join-then-filter-latest version is both wrong
+    (leaks same-instant features) and a row explosion.
+
+    Built on :func:`asof_join`: ONE shuffle on user_id, one sort, zero
+    pair enumeration; ``allow_exact_matches=False`` is the strictness
+    knob (same-timestamp clicks sort after the purchase, so the window
+    never sees them)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("value").alias("last_click_value"),
+        F.col("ts").alias("last_click_ts"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["last_click_value", "last_click_ts"],
+        direction="backward",
+        allow_exact_matches=False,
+    ).select(
+        "event_id", "user_id", "purchase_value",
+        "last_click_value", "last_click_ts",
+    )
+
+
+POINT_IN_TIME_FEATURES_SQL = """
+SELECT event_id, user_id, purchase_value, last_click_value, last_click_ts
+FROM (
+  SELECT event_id, user_id, ts, side,
+         value AS purchase_value,
+         LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+           OVER w AS last_click_value,
+         LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts
+  FROM (
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+    FROM events WHERE event_type IN ('click', 'purchase')
+  )
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, side DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+) WHERE side = 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "global_click_purchase_pairs",
@@ -199,5 +256,12 @@ SPECS: list[QuerySpec] = [
         GLOBAL_CLICK_PURCHASE_PAIRS_SQL,
         "keyless range join via time-bucket equi-join rewrite",
         ("join", "timeseries"),
+    ),
+    QuerySpec(
+        "point_in_time_features",
+        point_in_time_features,
+        POINT_IN_TIME_FEATURES_SQL,
+        "point-in-time-correct feature join (no label leakage)",
+        ("join", "timeseries", "ml"),
     ),
 ]
