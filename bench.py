@@ -59,6 +59,7 @@ HEADLINE = [
     "embed_documents",
     "media_dedup_exact",
     "temperature_mixed_sample",
+    "corpus_prep_pipeline",
 ]
 
 

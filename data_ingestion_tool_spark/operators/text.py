@@ -1228,7 +1228,115 @@ text_semantic_dedup.__doc__ = text_semantic_dedup.__doc__.format(
 )
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation pipeline as ONE Catalyst plan with
+    an EXACT oracle: exact dedup (md5 fingerprint, keep min doc_id) →
+    length quality gate → temperature source mixing (keep probability
+    computed over the POST-dedup corpus — the cascading aggregate a
+    real pipeline needs) → token-budget sequence packing. Output is
+    the per-document training assignment (source, pack_bucket,
+    seq_no), verifiable row-for-row.
+
+    Scale shape: two window shuffles (fingerprint dedup, pack cumsum)
+    + one |sources|-row broadcast; no stage materializes, no driver
+    round-trip, every stage's cost is the one the standalone operator
+    pays."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w_dup = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("text"))))
+    ).orderBy("doc_id")
+    base = (
+        d.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
+        .select("doc_id", "source", "n_chars", "text")
+    )
+    per_src = base.groupBy("source").agg(F.sum("n_chars").alias("n_bytes"))
+    tot = per_src.agg(
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.sqrt(F.col("n_bytes").cast("double"))).alias("z"),
+    )
+    keep_p = F.least(
+        F.lit(1.0),
+        F.lit(_MIX_FRAC)
+        * F.col("total_bytes").cast("double")
+        * (F.sqrt(F.col("n_bytes").cast("double")) / F.col("z"))
+        / F.col("n_bytes").cast("double"),
+    )
+    probs = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", F.round(keep_p, 8).alias("keep_p")
+    )
+    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
+    mixed = (
+        base.join(F.broadcast(probs), "source")
+        .filter(u < F.col("keep_p"))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % _PACK_BUCKETS).alias("pack_bucket"),
+            F.size(_tokens()).alias("ws_tokens"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("ws_tokens").over(w_pack) - F.col("ws_tokens")
+    return mixed.select(
+        "doc_id",
+        "source",
+        "pack_bucket",
+        F.floor(cum_before / _PACK_BUDGET).alias("seq_no"),
+        "ws_tokens",
+    )
+
+
+CORPUS_PREP_PIPELINE_SQL = rf"""
+WITH deduped AS (
+  SELECT doc_id, source, n_chars, text
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                 ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1 AND n_chars BETWEEN 100 AND 2000
+), per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+  FROM deduped GROUP BY source
+), tot AS (
+  SELECT SUM(n_bytes) AS total_bytes,
+         SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
+  FROM per_src
+), probs AS (
+  SELECT source,
+         ROUND(LEAST(1.0, {_MIX_FRAC} * CAST(total_bytes AS DOUBLE)
+                          * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
+                          / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
+  FROM per_src, tot
+), mixed AS (
+  SELECT d.doc_id, d.source,
+         d.doc_id % {_PACK_BUCKETS} AS pack_bucket,
+         len(string_split_regex(trim(d.text), '\s+')) AS ws_tokens
+  FROM deduped d JOIN probs p ON d.source = p.source
+  WHERE {_md5_uniform_expr('d.doc_id', duck=True)} < p.keep_p
+)
+SELECT doc_id, source, pack_bucket,
+       CAST(FLOOR((SUM(ws_tokens) OVER (PARTITION BY pack_bucket
+                                        ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                   - ws_tokens) / {_PACK_BUDGET}) AS BIGINT) AS seq_no,
+       ws_tokens
+FROM mixed
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline,
+              CORPUS_PREP_PIPELINE_SQL,
+              "dedup → quality gate → temperature mix → pack, one plan",
+              ("text", "llm", "flagship")),
     QuerySpec("text_semantic_dedup", text_semantic_dedup, None,
               "composed featurize → SemDeDup over the text corpus",
               ("text", "dedup", "similarity")),

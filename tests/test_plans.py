@@ -436,6 +436,8 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "boilerplate_ngram_flags",  # 1-row n_docs broadcast
         "contrastive_negatives",    # bounded |Q| broadcast fan-out
         "join_key_skew_profile",    # 1-row totals broadcast
+        "dq_price_drift_psi",       # 1-row totals broadcast
+        "corpus_prep_pipeline",     # 1-row mixing-totals broadcast
     }
     offenders = {}
     for name, spec in REG.items():
