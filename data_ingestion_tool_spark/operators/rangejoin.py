@@ -209,34 +209,42 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.col("value").alias("purchase_value"),
     )
+    # value+ts packed in ONE struct so the picked feature pair always
+    # comes from the SAME click row — two independent ignorenulls
+    # windows could stitch (ts, value) from different clicks when a
+    # click's value is NULL
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts",
-        F.col("value").alias("last_click_value"),
-        F.col("ts").alias("last_click_ts"),
+        F.struct(
+            F.col("value").alias("v"), F.col("ts").alias("t")
+        ).alias("last_click"),
     )
     return asof_join(
         purchases,
         clicks,
         on="ts",
         by=["user_id"],
-        value_cols=["last_click_value", "last_click_ts"],
+        value_cols=["last_click"],
         direction="backward",
         allow_exact_matches=False,
     ).select(
         "event_id", "user_id", "purchase_value",
-        "last_click_value", "last_click_ts",
+        F.col("last_click.v").alias("last_click_value"),
+        F.col("last_click.t").alias("last_click_ts"),
     )
 
 
 POINT_IN_TIME_FEATURES_SQL = """
-SELECT event_id, user_id, purchase_value, last_click_value, last_click_ts
+SELECT event_id, user_id, purchase_value,
+       last_click.v AS last_click_value,
+       last_click.t AS last_click_ts
 FROM (
   SELECT event_id, user_id, ts, side,
          value AS purchase_value,
-         LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
-           OVER w AS last_click_value,
-         LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
-           OVER w AS last_click_ts
+         LAST_VALUE(CASE WHEN side = 0
+                         THEN struct_pack(v := value, t := ts)
+                    END IGNORE NULLS)
+           OVER w AS last_click
   FROM (
     SELECT event_id, user_id, ts, value,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side

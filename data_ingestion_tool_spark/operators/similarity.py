@@ -417,8 +417,8 @@ _BROADCAST_MAX_VECTORS = 1_000_000
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ threshold — embedding-space near-dup
     detection. Exact, computed as a broadcast matrix product, with a
-    SIZE GUARD: if the table exceeds ``_BROADCAST_MAX_VECTORS`` (one
-    metadata-only parquet count), it delegates to
+    SIZE GUARD: if the table exceeds ``_BROADCAST_MAX_VECTORS`` (a
+    limit-probe that scans at most MAX+1 rows), it delegates to
     :func:`embedding_near_dup_blocked` instead of collecting — the
     same auto-demotion a planner applies when a build side outgrows
     the broadcast threshold. Both paths share one oracle.
@@ -442,7 +442,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    if emb.count() > _BROADCAST_MAX_VECTORS:
+    # limit-probe, not count(): scans at most MAX+1 rows, so the guard
+    # itself stays O(threshold) however large the table is
+    over = emb.select("vec_id").limit(_BROADCAST_MAX_VECTORS + 1).count()
+    if over > _BROADCAST_MAX_VECTORS:
         return embedding_near_dup_blocked(spark, sf_dir)
 
     def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -918,26 +921,35 @@ def semdedup(
     id_col: str = "vec_id",
     k: int = _SEMDEDUP_K,
     threshold: float = _SEMDEDUP_COSINE,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """The reusable SemDeDup kernel behind :func:`semantic_dedup` (and
     the text-side ``text_semantic_dedup``): any ``(id, embedding)``
-    DataFrame in → ``(id, cluster, keep)`` out. Centroids are the k
-    lowest-id vectors; see :func:`semantic_dedup` for the method and
-    scale notes."""
+    DataFrame in → ``(id, cluster, keep)`` out. Cluster labels are the
+    CENTROID IDS (not positions), so output is invariant to how ids
+    are numbered. Centroids default to the k lowest-id vectors of
+    ``df`` itself; pass ``centroid_source`` when a cheaper plan yields
+    the same k rows (e.g. featurizing only the k docs instead of the
+    whole corpus — the centroid fetch is an eager bounded k-row job at
+    build time, the one materialization this operator performs)."""
     import pandas as pd
     from collections.abc import Iterator
 
     spark = df.sparkSession
     emb = df.select(F.col(id_col), F.col("embedding"))
-    cents = emb.orderBy(id_col).limit(k).toPandas()
+    src = centroid_source if centroid_source is not None else emb
+    cents = src.select(F.col(id_col), F.col("embedding")).orderBy(
+        id_col
+    ).limit(k).toPandas()
+    c_ids = cents[id_col].to_numpy(np.int64)
     c_mat = np.vstack(cents["embedding"].to_numpy()).astype(np.float64)
     c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
     c_norms[c_norms == 0.0] = 1.0
     c_mat = c_mat / c_norms
-    bc = spark.sparkContext.broadcast(c_mat)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+        ids, c = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -947,17 +959,19 @@ def semdedup(
             m = m / norms
             sims = m @ c.T
             # np.argmax takes the FIRST max → ties go to the lowest
-            # centroid id, matching the oracle's ORDER BY sim DESC, cid
+            # centroid id (rows sorted by id), matching the oracle's
+            # ORDER BY sim DESC, cid; the emitted label is the
+            # centroid's ID, stable under any id numbering
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "cluster": sims.argmax(axis=1).astype(np.int32),
+                    "cluster": ids[sims.argmax(axis=1)].astype(np.int64),
                     "embedding": pdf["embedding"],
                 }
             )
 
     assigned = emb.mapInPandas(
-        assign, f"{id_col} long, cluster int, embedding array<float>"
+        assign, f"{id_col} long, cluster long, embedding array<float>"
     )
 
     def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -986,14 +1000,14 @@ def semdedup(
         )
 
     return assigned.groupBy("cluster").applyInPandas(
-        dedup_cluster, f"{id_col} long, cluster int, keep boolean"
+        dedup_cluster, f"{id_col} long, cluster long, keep boolean"
     )
 
 
 SEMANTIC_DEDUP_SQL = f"""
 WITH cent AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id < {_SEMDEDUP_K}
+  FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K}
 ), assigned AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT e.vec_id, c.cid,

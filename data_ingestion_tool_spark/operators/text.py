@@ -1004,10 +1004,12 @@ SELECT doc_id, lang, source, rk FROM (
 """
 
 
-#: Temperature-mixing parameters: α < 1 upsamples small sources
-#: (multilingual-LM convention, e.g. mC4/XLM-R α=0.3–0.7); the target
-#: keeps ~30% of total corpus bytes.
-_MIX_ALPHA = 0.5
+#: Temperature-mixing parameters. The temperature exponent is FIXED at
+#: α = 0.5 — spelled sqrt() in the Python and every SQL oracle so both
+#: engines compute bit-identical weights (POWER(x, α) is not guaranteed
+#: to round identically across libm implementations; sqrt is). α < 1
+#: upsamples small sources (multilingual-LM convention, mC4/XLM-R use
+#: 0.3–0.7). The target keeps ~30% of total corpus bytes.
 _MIX_FRAC = 0.3
 _HEX = "0123456789abcdef"
 
@@ -1031,17 +1033,15 @@ def _md5_uniform_expr(key_sql: str, *, duck: bool) -> str:
     return f"(({terms}) / 16777216.0)"
 
 
-def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source temperature-mixing weights: weight ∝ bytes^α
-    (α={a}), normalized, plus the per-document keep probability that
-    realizes a {f:.0%}-of-corpus target. The mixture-design step of
-    every multilingual / multi-source LM data pipeline.
-
-    Scale shape: one map-side-combinable aggregate over the corpus
-    (|sources| rows out), a 1-row total broadcast back — the corpus is
-    scanned once and only source+n_chars columns are read."""
-    d = _docs(spark, sf_dir).select("source", "n_chars")
-    per_src = d.groupBy("source").agg(
+def mix_weights(docs: DataFrame) -> DataFrame:
+    """THE temperature-mixing formula, defined once: ``(source,
+    n_chars)`` rows in → ``(source, n_docs, n_bytes, weight, keep_p)``
+    out, weight ∝ sqrt(bytes) normalized, keep_p realizing the
+    ``_MIX_FRAC`` byte target. Every mixing operator (standalone
+    weights, sampled corpus, composed pipeline) and every SQL oracle
+    (via :func:`_sql_mix_ctes`) derives from this one definition, so
+    the formula cannot drift between call sites."""
+    per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_bytes"),
     )
@@ -1066,27 +1066,47 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-source_mixing_weights.__doc__ = source_mixing_weights.__doc__.format(
-    a=_MIX_ALPHA, f=_MIX_FRAC
-)
-
-
-SOURCE_MIXING_WEIGHTS_SQL = """
-WITH per_src AS (
+def _sql_mix_ctes(src_rel: str) -> str:
+    """The oracle spelling of :func:`mix_weights` as CTE text over any
+    source relation — one definition feeds all three mixing oracles."""
+    return f"""per_src AS (
   SELECT source, COUNT(*) AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS n_bytes
-  FROM documents GROUP BY source
+  FROM {src_rel} GROUP BY source
 ), tot AS (
   SELECT SUM(n_bytes) AS total_bytes,
          SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
   FROM per_src
+), probs AS (
+  SELECT source, n_docs, n_bytes,
+         ROUND(sqrt(CAST(n_bytes AS DOUBLE)) / z, 8) AS weight,
+         ROUND(LEAST(1.0, {_MIX_FRAC} * CAST(total_bytes AS DOUBLE)
+                          * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
+                          / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
+  FROM per_src, tot
+)"""
+
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-mixing weights: weight ∝ bytes^α
+    (α={a}), normalized, plus the per-document keep probability that
+    realizes a {f:.0%}-of-corpus target. The mixture-design step of
+    every multilingual / multi-source LM data pipeline.
+
+    Scale shape: one map-side-combinable aggregate over the corpus
+    (|sources| rows out), a 1-row total broadcast back — the corpus is
+    scanned once and only source+n_chars columns are read."""
+    return mix_weights(_docs(spark, sf_dir).select("source", "n_chars"))
+
+
+source_mixing_weights.__doc__ = source_mixing_weights.__doc__.format(
+    a=0.5, f=_MIX_FRAC
 )
-SELECT source, n_docs, n_bytes,
-       ROUND(sqrt(CAST(n_bytes AS DOUBLE)) / z, 8) AS weight,
-       ROUND(LEAST(1.0, 0.3 * CAST(total_bytes AS DOUBLE)
-                        * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
-                        / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
-FROM per_src, tot
+
+
+SOURCE_MIXING_WEIGHTS_SQL = f"""
+WITH {_sql_mix_ctes('documents')}
+SELECT source, n_docs, n_bytes, weight, keep_p FROM probs
 """
 
 
@@ -1111,19 +1131,7 @@ def temperature_mixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEMPERATURE_MIXED_SAMPLE_SQL = f"""
-WITH per_src AS (
-  SELECT source, SUM(n_chars) AS n_bytes FROM documents GROUP BY source
-), tot AS (
-  SELECT SUM(n_bytes) AS total_bytes,
-         SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
-  FROM per_src
-), probs AS (
-  SELECT source,
-         ROUND(LEAST(1.0, 0.3 * CAST(total_bytes AS DOUBLE)
-                          * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
-                          / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
-  FROM per_src, tot
-)
+WITH {_sql_mix_ctes('documents')}
 SELECT d.doc_id, d.source
 FROM documents d JOIN probs p ON d.source = p.source
 WHERE {_md5_uniform_expr('d.doc_id', duck=True)} < p.keep_p
@@ -1150,7 +1158,15 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     xxhash64 is engine-specific → rows-only driver check; determinism,
     dimension, and unit-norm invariants are pytest-asserted."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return embed_docs_df(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def embed_docs_df(d: DataFrame) -> DataFrame:
+    """The featurizer as a DataFrame-in/DataFrame-out kernel:
+    ``(doc_id, text)`` → ``(doc_id, embedding)``. Per-document pure
+    function (no corpus statistics), so embedding a subset equals the
+    subset of embeddings — callers may featurize k rows cheaply (e.g.
+    SemDeDup centroid fetch)."""
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
@@ -1180,6 +1196,20 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw"),
         )
     )
+    # empty/whitespace-only docs have no tokens and would vanish at the
+    # explode — left-join back so EVERY doc_id gets a row (zero vector),
+    # matching the exact-dedup operators' every-id-classified contract
+    dense = (
+        d.select("doc_id")
+        .join(dense, "doc_id", "left")
+        .withColumn(
+            "raw",
+            F.coalesce(
+                F.col("raw"),
+                F.array_repeat(F.lit(0.0), _EMBED_DIM),
+            ),
+        )
+    )
     # materialize the norm in its own select so it's computed once per
     # row, not once per array element inside the transform lambda
     # (same pattern as similarity._normalized)
@@ -1205,21 +1235,30 @@ _TEXT_SEMDEDUP_COSINE = 0.95
 def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup of the TEXT corpus: hash-embed every
     document (:func:`embed_documents`, no model, no fit) and run the
-    SemDeDup cluster-then-near-dup kernel over the result — the full
-    composed pipeline (featurize → cluster → within-cluster dedup) as
-    ONE lazy plan; nothing materializes between stages.
+    SemDeDup cluster-then-near-dup kernel over the result — the
+    featurize → assign → within-cluster dedup stages compose as one
+    lazy plan. The ONLY materialization is the bounded k-row centroid
+    fetch, and it featurizes just the k lowest-id docs (a per-document
+    pure function, so the subset embedding equals the full-corpus
+    embedding) — never the whole corpus twice.
 
     Cosine {t} on hashed bag-of-words embeddings ≈ near-identical
     token multisets: exact duplicates score 1.0, light edits stay
     above the bar, unrelated docs fall far below. Rows-only driver
     check (hash/GEMM are engine-specific); the exact-duplicate
     containment invariant is pytest-asserted."""
-    from data_ingestion_tool_spark.operators.similarity import semdedup
+    from data_ingestion_tool_spark.operators.similarity import (
+        _SEMDEDUP_K,
+        semdedup,
+    )
 
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    cheap_centroids = embed_docs_df(d.orderBy("doc_id").limit(_SEMDEDUP_K))
     return semdedup(
-        embed_documents(spark, sf_dir),
+        embed_docs_df(d),
         id_col="doc_id",
         threshold=_TEXT_SEMDEDUP_COSINE,
+        centroid_source=cheap_centroids,
     )
 
 
@@ -1253,20 +1292,8 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
         .select("doc_id", "source", "n_chars", "text")
     )
-    per_src = base.groupBy("source").agg(F.sum("n_chars").alias("n_bytes"))
-    tot = per_src.agg(
-        F.sum("n_bytes").alias("total_bytes"),
-        F.sum(F.sqrt(F.col("n_bytes").cast("double"))).alias("z"),
-    )
-    keep_p = F.least(
-        F.lit(1.0),
-        F.lit(_MIX_FRAC)
-        * F.col("total_bytes").cast("double")
-        * (F.sqrt(F.col("n_bytes").cast("double")) / F.col("z"))
-        / F.col("n_bytes").cast("double"),
-    )
-    probs = per_src.crossJoin(F.broadcast(tot)).select(
-        "source", F.round(keep_p, 8).alias("keep_p")
+    probs = mix_weights(base.select("source", "n_chars")).select(
+        "source", "keep_p"
     )
     u = F.expr(_md5_uniform_expr("doc_id", duck=False))
     mixed = (
@@ -1302,20 +1329,7 @@ WITH deduped AS (
                                  ORDER BY doc_id) AS rn
     FROM documents
   ) WHERE rn = 1 AND n_chars BETWEEN 100 AND 2000
-), per_src AS (
-  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_bytes
-  FROM deduped GROUP BY source
-), tot AS (
-  SELECT SUM(n_bytes) AS total_bytes,
-         SUM(sqrt(CAST(n_bytes AS DOUBLE))) AS z
-  FROM per_src
-), probs AS (
-  SELECT source,
-         ROUND(LEAST(1.0, {_MIX_FRAC} * CAST(total_bytes AS DOUBLE)
-                          * (sqrt(CAST(n_bytes AS DOUBLE)) / z)
-                          / CAST(n_bytes AS DOUBLE)), 8) AS keep_p
-  FROM per_src, tot
-), mixed AS (
+), {_sql_mix_ctes('deduped')}, mixed AS (
   SELECT d.doc_id, d.source,
          d.doc_id % {_PACK_BUCKETS} AS pack_bucket,
          len(string_split_regex(trim(d.text), '\s+')) AS ws_tokens

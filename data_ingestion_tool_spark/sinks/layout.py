@@ -215,6 +215,41 @@ def write_audit_publish(
     return n
 
 
+def _shard_bytes(spark: SparkSession, data_dir: str) -> dict[int, int]:
+    """Per-shard on-disk bytes via the Hadoop FileSystem API, so the
+    manifest works on any scheme (hdfs://, s3a://, file:); plain
+    ``os.listdir`` only as the no-JVM fallback."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(data_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out: dict[int, int] = {}
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not name.startswith("shard="):
+                continue
+            sid = int(name.split("=", 1)[1])
+            out[sid] = sum(
+                f.getLen()
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+        return out
+    except Exception:
+        out = {}
+        for d in os.listdir(data_dir):
+            if not d.startswith("shard="):
+                continue
+            sid = int(d.split("=", 1)[1])
+            full = os.path.join(data_dir, d)
+            out[sid] = sum(
+                os.path.getsize(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+        return out
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -243,6 +278,11 @@ def write_training_shards(
     sharded = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(key)), F.lit(n_shards)).cast("int")
     )
+    # co-locate each shard's rows into one task BEFORE partitionBy —
+    # otherwise every input task writes one file per shard it touches
+    # (tasks × shards small files); after this shuffle the file count
+    # is O(n_shards)
+    sharded = sharded.repartition(n_shards, F.col("shard"))
     data_dir = os.path.join(path, "data")
     sharded.write.mode("overwrite").partitionBy("shard").parquet(data_dir)
     # rows + order-insensitive key checksum per shard, from the STAGED
@@ -256,17 +296,7 @@ def write_training_shards(
             F.expr(f"bit_xor(xxhash64({key}))").alias("key_checksum"),
         )
     )
-    bytes_by_shard = {}
-    for d in os.listdir(data_dir):
-        if not d.startswith("shard="):
-            continue
-        sid = int(d.split("=", 1)[1])
-        full = os.path.join(data_dir, d)
-        bytes_by_shard[sid] = sum(
-            os.path.getsize(os.path.join(full, f))
-            for f in os.listdir(full)
-            if f.endswith(".parquet")
-        )
+    bytes_by_shard = _shard_bytes(spark, data_dir)
     b = spark.createDataFrame(
         [(k, v) for k, v in sorted(bytes_by_shard.items())],
         "shard int, n_bytes long",

@@ -130,10 +130,16 @@ def write_split(
     """
     from pyspark.sql import Observation
 
-    obs = Observation()
-    observed = valid.observe(obs, F.count(F.lit(1)).alias("n"))
-    append_table(observed, table_name, catalog=catalog, schema=schema)
-    n_valid = int(obs.get["n"])
+    # isEmpty short-circuits at the first surviving row (cheap on the
+    # hot path); only a fully-invalid input pays a real scan, and that
+    # case must NOT create the table (reference parity on both sides).
+    if valid.isEmpty():
+        n_valid = 0
+    else:
+        obs = Observation()
+        observed = valid.observe(obs, F.count(F.lit(1)).alias("n"))
+        append_table(observed, table_name, catalog=catalog, schema=schema)
+        n_valid = int(obs.get["n"])
     n_invalid = invalid.count()
     if n_invalid:
         append_table(

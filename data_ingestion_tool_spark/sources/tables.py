@@ -49,10 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unconfigured SparkSession. Naive parquet timestamps must arrive as
     # TIMESTAMP_NTZ (DuckDB-oracle semantics — no session-tz shift), and
     # a TIMESTAMP(NANOS) events file must not be rejected outright.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    # Parquet schema resolution happens EAGERLY at .parquet(), so the
+    # confs can be restored immediately after — the caller's session is
+    # left exactly as we found it (their own reads keep their settings).
+    _SCOPED = {"spark.sql.parquet.inferTimestampNTZ.enabled": "true"}
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+        _SCOPED["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    saved: dict[str, str | None] = {}
+    for k, v in _SCOPED.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     if name == "events":
         # Canonicalize ts to TIMESTAMP_NTZ no matter how this session's
         # reader surfaced it; downstream operators see ONE type.

@@ -477,6 +477,21 @@ def test_embed_documents_invariants(spark):
         assert len(vec) == _EMBED_DIM
         n = math.sqrt(sum(x * x for x in vec))
         assert abs(n - 1.0) < 1e-9 or n == 0.0
+    # completeness: one row per document, including empty/whitespace
+    # docs (zero vector), so downstream keep/drop decisions cover
+    # every doc_id
+    from data_ingestion_tool_spark.operators.text import embed_docs_df
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    assert len(rows) == n_docs
+    planted = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_docs_df(planted).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(x == 0.0 for x in out[2]) and all(x == 0.0 for x in out[3])
 
 
 def test_text_semantic_dedup_on_planted_corpus(spark, tmp_path):

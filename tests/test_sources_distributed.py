@@ -96,7 +96,40 @@ def test_events_loads_on_unconfigured_session(spark):
     df = load_table(spark, "/root/testdata/sf0.001", "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
     assert df.count() > 0
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    # the scoped confs are RESTORED after schema resolution — the
+    # caller's session is left exactly as we found it (the conf is
+    # captured into the relation at read time, so execution still
+    # works; verified against a synthetic TIMESTAMP(NANOS) file in
+    # test_nanos_file_loads_with_scoped_conf)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+
+def test_nanos_file_loads_with_scoped_conf(spark, tmp_path):
+    """A TIMESTAMP(NANOS) parquet (round-1 testdata format) must load
+    and EXECUTE through load_table even though the nanos conf is
+    restored right after schema resolution."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00.123456789", "2024-01-02 12:34:56.987654321"]
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"), coerce_timestamps=None)
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    rows = {r["event_id"]: r["ts"] for r in df.collect()}
+    # ns truncated to µs, naive, tz-independent
+    assert str(rows[1]) == "2024-01-01 00:00:00.123456"
+    assert str(rows[2]) == "2024-01-02 12:34:56.987654"
 
     # An LTZ arrival (session read naive micros as TIMESTAMP) must
     # reconstruct the exact naive value, not shift it by session tz.
