@@ -34,6 +34,15 @@ _MODULES = [
 #: First-50 pin list (driver correctness window). Keep this at exactly
 #: the entries that need fresh driver rows; tests assert every name
 #: exists in the registry.
+#:
+#: ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this
+#: window, rotate the proven entries out and pin the round-2 additions
+#: that have never seen a driver row — corpus_prep_pipeline,
+#: semantic_dedup, text_semantic_dedup, embed_documents,
+#: media_dedup_exact, point_in_time_features, unigram_logprob_scores,
+#: source_mixing_weights, temperature_mixed_sample, dq_orphan_orders,
+#: dq_duplicate_linenumbers, dq_value_bounds, dq_price_drift_psi,
+#: sketch_user_reach, and the ten tpch_q* shapes.
 _FRONT = [
     # flagship reference parity + composed pipeline
     "validate_lineitem",

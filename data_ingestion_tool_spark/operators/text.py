@@ -1229,6 +1229,80 @@ def embed_docs_df(d: DataFrame) -> DataFrame:
 embed_documents.__doc__ = embed_documents.__doc__.format(d=_EMBED_DIM)
 
 
+_LM_VOCAB = 100
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring (the CCNet/KenLM-style quality filter, with
+    the LM reduced to corpus unigrams so the oracle can replay it):
+    per-document average negative log-probability under an add-one
+    smoothed top-V unigram model estimated from the corpus itself.
+    High avg_nll = improbable token stream = filter candidate.
+
+    Scale shape: term estimation is one combinable hash-agg; the
+    top-V rank runs over the |vocabulary| aggregate; the V-row model
+    broadcasts onto the token stream; per-doc scoring is one doc_id
+    shuffle. OOV tokens take the uniform smoothing mass (ln 1 = 0
+    inside the sum, the N+V+1 normalizer carries their probability).
+    Rounded to 4dp: a per-doc float sum's partition-order wobble is
+    ~1e-13, far inside the rounding guard."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = d.select("doc_id", F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    nv = counts.agg(F.sum("tf").alias("n_total"))
+    vocab = (
+        counts.orderBy(F.desc("tf"), "term")
+        .limit(_LM_VOCAB)
+        .select("term", "tf")
+    )
+    per_doc = (
+        tokens.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.coalesce(F.col("tf"), F.lit(0)) + 1)).alias("s"),
+        )
+    )
+    denom = F.log(F.col("n_total") + _LM_VOCAB + 1)
+    return per_doc.crossJoin(F.broadcast(nv)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            -(F.col("s") - F.col("n_tokens") * denom) / F.col("n_tokens"), 4
+        ).alias("avg_nll"),
+    )
+
+
+UNIGRAM_LOGPROB_SCORES_SQL = rf"""
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(toks) AS t(term)
+  WHERE t.term <> ''
+), counts AS (
+  SELECT term, COUNT(*) AS tf FROM tokens GROUP BY term
+), nv AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM counts
+), vocab AS (
+  SELECT term, tf FROM counts ORDER BY tf DESC, term LIMIT {_LM_VOCAB}
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(LN(COALESCE(v.tf, 0) + 1)) AS s
+  FROM tokens tk LEFT JOIN vocab v USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(-(s - n_tokens * LN(n_total + {_LM_VOCAB} + 1)) / n_tokens, 4)
+         AS avg_nll
+FROM per_doc, nv
+"""
+
+
 _TEXT_SEMDEDUP_COSINE = 0.95
 
 
@@ -1351,6 +1425,10 @@ SPECS: list[QuerySpec] = [
               CORPUS_PREP_PIPELINE_SQL,
               "dedup → quality gate → temperature mix → pack, one plan",
               ("text", "llm", "flagship")),
+    QuerySpec("unigram_logprob_scores", unigram_logprob_scores,
+              UNIGRAM_LOGPROB_SCORES_SQL,
+              "unigram-LM perplexity-style quality scores (CCNet-shape)",
+              ("text", "llm")),
     QuerySpec("text_semantic_dedup", text_semantic_dedup, None,
               "composed featurize → SemDeDup over the text corpus",
               ("text", "dedup", "similarity")),
