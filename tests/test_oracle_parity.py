@@ -113,6 +113,7 @@ def test_parity_survives_foreign_session_timezone(spark, duck, name):
     canonicalization makes every query timezone-independent."""
     ns = spark.newSession()
     ns.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ns.conf.set("spark.sql.ansi.enabled", "false")
     try:
         spec = REG[name]
         sdf = spec.builder(ns, SF_CORRECT)
@@ -121,6 +122,7 @@ def test_parity_survives_foreign_session_timezone(spark, duck, name):
         assert not problems, f"{name}@NY-tz: " + "; ".join(problems)
     finally:
         ns.conf.unset("spark.sql.session.timeZone")
+        ns.conf.unset("spark.sql.ansi.enabled")
 
 
 def test_python_stage_ops_run_on_foreign_session(spark):
@@ -128,8 +130,10 @@ def test_python_stage_ops_run_on_foreign_session(spark):
     must also run under an arbitrarily-configured external session."""
     ns = spark.newSession()
     ns.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    ns.conf.set("spark.sql.ansi.enabled", "false")
     try:
         for name in ("semantic_dedup", "ann_bruteforce_topk", "kmeans_labels"):
             assert REG[name].builder(ns, SF_CORRECT).count() > 0, name
     finally:
         ns.conf.unset("spark.sql.session.timeZone")
+        ns.conf.unset("spark.sql.ansi.enabled")
