@@ -137,3 +137,29 @@ def test_python_stage_ops_run_on_foreign_session(spark):
     finally:
         ns.conf.unset("spark.sql.session.timeZone")
         ns.conf.unset("spark.sql.ansi.enabled")
+
+
+#: Smoke-tier guard: the flagship + TPC-H queries must hash-match the
+#: oracle on the TINY sf too (empty filter results, LIMIT ties, and
+#: single-partition plans behave differently at 6k rows than 60k).
+_SMOKE_TIER = sorted(
+    n
+    for n, s in REG.items()
+    if s.oracle is not None
+    and (n.startswith("tpch_") or "flagship" in s.tags)
+)
+
+
+@pytest.mark.parametrize("name", _SMOKE_TIER)
+def test_flagships_match_oracle_at_smoke_sf(spark, name):
+    from tests.conftest import make_duck
+
+    spec = REG[name]
+    sdf = spec.builder(spark, "/root/testdata/sf0.001")
+    con = make_duck("/root/testdata/sf0.001")
+    try:
+        ddf = con.execute(spec.oracle).df()
+        problems = compare(sdf, ddf)
+    finally:
+        con.close()
+    assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
