@@ -13,6 +13,8 @@ batch-like backfills with streaming semantics.
 """
 
 from data_ingestion_tool_spark.streaming.streams import (
+    incremental_reach_stream,
+    read_reach_state,
     dedup_events_stream,
     enriched_events_stream,
     purchases_after_clicks_stream,
@@ -25,6 +27,8 @@ from data_ingestion_tool_spark.streaming.streams import (
 )
 
 __all__ = [
+    "incremental_reach_stream",
+    "read_reach_state",
     "dedup_events_stream",
     "enriched_events_stream",
     "purchases_after_clicks_stream",

@@ -313,3 +313,46 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_events").collect()
     }
     assert rows == {1: "gold", 2: "gold", 3: None}
+
+
+def test_incremental_sketch_reach_across_batches(spark, tmp_path):
+    """Sketch-state streaming: micro-batches merge per-type HLL
+    sketches into a persisted KB-scale state table; estimates equal
+    exact distincts at these cardinalities, overlapping users are NOT
+    double-counted across batches, and a second availableNow run
+    (new data landing later) keeps converging."""
+    from data_ingestion_tool_spark.streaming import (
+        incremental_reach_stream,
+        read_reach_state,
+    )
+
+    src = tmp_path / "reach_src"
+    state = str(tmp_path / "reach_state")
+    ck = str(tmp_path / "reach_ck")
+    _write_events(src, EVENTS)  # users: click {1}, view {2}
+    stream = stream_events_from_directory(spark, str(src))
+    q = incremental_reach_stream(
+        stream, checkpoint_dir=ck, state_dir=state
+    )
+    q.awaitTermination(60)
+    est = {r["event_type"]: r["est_users"] for r in read_reach_state(spark, state).collect()}
+    assert est == {"click": 1, "view": 1}
+
+    # second wave: user 1 clicks AGAIN (overlap — must not double
+    # count), user 3 clicks for the first time
+    _write_events(
+        src,
+        [
+            {"event_id": 10, "ts": "2024-01-01 12:00:00", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 11, "ts": "2024-01-01 12:01:00", "user_id": 3,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+    )
+    stream2 = stream_events_from_directory(spark, str(src))
+    q2 = incremental_reach_stream(
+        stream2, checkpoint_dir=ck, state_dir=state
+    )
+    q2.awaitTermination(60)
+    est2 = {r["event_type"]: r["est_users"] for r in read_reach_state(spark, state).collect()}
+    assert est2 == {"click": 2, "view": 1}
