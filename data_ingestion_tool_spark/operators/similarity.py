@@ -1034,7 +1034,99 @@ FROM assigned a
 """
 
 
+_FILTER_LABEL = 3
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered ANN (the vector-DB "filtered search" pattern):
+    exact cosine top-k restricted to candidates with ``label =
+    {label}``. The metadata predicate applies at the SCAN (pushed to
+    parquet, so ~1/|labels| of the table is even read) BEFORE any
+    scoring — post-filtering a global top-k instead would return
+    fewer than k hits whenever the filter is selective.
+
+    Same partial-top-k scale shape as :func:`ann_bruteforce_topk`:
+    broadcast queries, per-batch GEMM, |batches|·|Q|·k rows shuffled.
+    Queries are NOT label-filtered (search from anywhere into the
+    filtered corpus), and self-matches are excluded."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
+
+    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    cand = emb.filter(F.col("label") == _FILTER_LABEL).select(
+        "vec_id", "embedding"
+    )
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mq = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_c = pdf["vec_id"].to_numpy(np.int64)
+            mc = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mc = mc / np.linalg.norm(mc, axis=1, keepdims=True)
+            scores = mc @ mq.T
+            scores[ids_c[:, None] == ids_q[None, :]] = -np.inf
+            k = min(TOP_K, len(ids_c))
+            parts = []
+            for j, qid in enumerate(ids_q):
+                col = scores[:, j]
+                order = np.lexsort((ids_c, -col))[:k]
+                sel = order[np.isfinite(col[order])]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(sel), qid, np.int64),
+                            "neighbor_id": ids_c[sel],
+                            "score": col[sel],
+                        }
+                    )
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    partial = cand.mapInPandas(
+        stage, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ann_filtered_topk.__doc__ = ann_filtered_topk.__doc__.format(
+    label=_FILTER_LABEL
+)
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id != q.vec_id AND c.label = {_FILTER_LABEL}
+  WHERE q.vec_id < {N_QUERIES}
+) WHERE rank <= {TOP_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_TOPK_SQL,
+              "pre-filtered exact ANN (predicate at the scan, then GEMM)",
+              ("similarity",)),
     QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_SQL,
               "SemDeDup: cluster-then-near-dup (N²/k pair reduction)",
               ("similarity", "dedup")),
