@@ -533,7 +533,60 @@ LIMIT 10
 """
 
 
+def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and
+    year. The testdata lacks partsupp, so supply cost is proxied as
+    60% of the part's retail price — the SHAPE (fact ⋈ fact ⋈ three
+    broadcast dims, computed measure, two-key agg) is the point.
+
+    Scale shape: part/supplier/nation broadcast; orders⋈lineitem is
+    the one real shuffle (orderkey); the profit expression is exact
+    decimal so the oracle hash matches."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("3")
+    ).select("p_partkey", "p_retailprice")
+    s_ = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    profit = revenue() - dec("p_retailprice") * F.lit(0.6).cast(
+        "decimal(12,2)"
+    ) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(SUM({SQL_REVENUE}
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(0.6 AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%3%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q9_profit_shape", tpch_q9_profit_shape, TPCH_Q9_SQL,
+              "TPC-H Q9 shape: two-fact profit agg with cost proxy",
+              ("join", "agg", "tpch")),
     QuerySpec("tpch_q6_forecast_revenue", tpch_q6_forecast_revenue, TPCH_Q6_SQL,
               "TPC-H Q6: pure filter-agg scan (bandwidth-bound shape)",
               ("agg", "sql", "tpch")),
