@@ -525,7 +525,54 @@ def sketch_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the DAU/WAU
+    engagement metric). Sliding DISTINCT doesn't decompose into window
+    frames, so the scalable rewrite is: collapse events to distinct
+    (user, day) FIRST (the big map-side reduction), then range-join
+    the tiny |days| calendar against user-days within the trailing
+    week and count distinct per day — the join fans each user-day to
+    ≤ 7 calendar rows, bounded and co-partitioned by day.
+
+    (At extreme cardinalities the exact count swaps for the HLL
+    sketches of ``sketch_user_reach`` — same shape, mergeable state.)
+    """
+    e = _events(spark, sf_dir)
+    day = F.date_trunc("day", "ts")
+    user_days = e.select("user_id", day.alias("day")).distinct()
+    days = user_days.select("day").distinct().select(
+        F.col("day").alias("metric_day")
+    )
+    return (
+        user_days.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("metric_day"))
+            & (F.col("day") > F.date_sub(F.col("metric_day"), 7)),
+        )
+        .groupBy(F.col("metric_day").cast("timestamp_ntz").alias("metric_day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+ROLLING_WAU_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), days AS (
+  SELECT DISTINCT day AS metric_day FROM user_days
+)
+SELECT CAST(d.metric_day AS TIMESTAMP) AS metric_day,
+       COUNT(DISTINCT u.user_id) AS wau
+FROM user_days u
+JOIN days d ON u.day <= d.metric_day AND u.day > d.metric_day - INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("rolling_weekly_active_users", rolling_weekly_active_users,
+              ROLLING_WAU_SQL,
+              "trailing-7-day distinct users via bounded calendar join",
+              ("events", "agg", "timeseries")),
     QuerySpec("multires_rollup", multires_rollup, MULTIRES_ROLLUP_SQL,
               "hourly+daily rollup in one shuffle via GROUPING SETS",
               ("events", "agg", "window")),

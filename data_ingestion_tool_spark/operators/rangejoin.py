@@ -257,7 +257,67 @@ FROM (
 """
 
 
+def next_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every click, the user's NEXT purchase at or
+    after it — the attribution-window lookup (which conversion does a
+    click get credit for). Exercises :func:`asof_join`'s forward
+    direction with exact-match inclusion; same one-shuffle union +
+    window shape as backward."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.struct(
+            F.col("value").alias("v"), F.col("ts").alias("t")
+        ).alias("next_purchase"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_cols=["next_purchase"],
+        direction="forward",
+        allow_exact_matches=True,
+    ).select(
+        "event_id", "user_id",
+        F.col("next_purchase.v").alias("next_purchase_value"),
+        F.col("next_purchase.t").alias("next_purchase_ts"),
+    )
+
+
+NEXT_PURCHASE_VALUE_SQL = """
+SELECT event_id, user_id,
+       np.v AS next_purchase_value,
+       np.t AS next_purchase_ts
+FROM (
+  SELECT event_id, user_id, ts, side,
+         FIRST_VALUE(CASE WHEN side = 0
+                          THEN struct_pack(v := value, t := ts)
+                     END IGNORE NULLS)
+           OVER w AS np
+  FROM (
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+    FROM events WHERE event_type IN ('click', 'purchase')
+  )
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, side DESC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+) WHERE side = 1
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "next_purchase_value",
+        next_purchase_value,
+        NEXT_PURCHASE_VALUE_SQL,
+        "forward as-of: attribution-window next-purchase lookup",
+        ("join", "timeseries", "ml"),
+    ),
     QuerySpec(
         "global_click_purchase_pairs",
         global_click_purchase_pairs,
