@@ -1420,7 +1420,62 @@ FROM mixed
 """
 
 
+_BATCH_SIZE = 32
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-serving prep: order documents by token length and cut
+    into fixed-size batches, so every batch holds similar-length docs
+    and padding waste (batch_max − doc_len) is minimized — the
+    length-bucketing trick every batched-inference pipeline uses.
+
+    Scale shape: one global sort by (length, doc_id) — rangepartition
+    + local sort, spill-safe — then batch_id = floor(rank/size) and a
+    per-batch padding-waste aggregate over |docs|/size rows. Output is
+    per-batch stats, verifiable exactly."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+    w = Window.orderBy("n_tokens", "doc_id")
+    batched = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE).alias("batch_id"),
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        # waste = Σ(batch_max − len) = max·count − Σlen, agg-only form
+        (
+            F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")
+        ).alias("padding_waste"),
+    )
+
+
+LENGTH_BUCKETED_BATCHES_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), batched AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1)
+                    / {_BATCH_SIZE}) AS BIGINT) AS batch_id
+  FROM toks
+)
+SELECT batch_id, COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+         AS padding_waste
+FROM batched
+GROUP BY batch_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("length_bucketed_batches", length_bucketed_batches,
+              LENGTH_BUCKETED_BATCHES_SQL,
+              "inference length bucketing: per-batch padding-waste stats",
+              ("text", "llm")),
     QuerySpec("corpus_prep_pipeline", corpus_prep_pipeline,
               CORPUS_PREP_PIPELINE_SQL,
               "dedup → quality gate → temperature mix → pack, one plan",
