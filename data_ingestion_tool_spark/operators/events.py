@@ -568,7 +568,58 @@ GROUP BY 1
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next_type | prev_type) with counts — the behavioral
+    model behind next-action prediction and anomaly scoring.
+
+    Scale shape: one lag window per user (single user_id shuffle —
+    ties broken by event_id so the chain is deterministic), then a
+    |types|² aggregate; the probability normalizer is a window over
+    that tiny matrix, not the event stream."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm), 6
+        ).alias("p"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("event_transition_matrix", event_transition_matrix,
+              EVENT_TRANSITION_MATRIX_SQL,
+              "per-user Markov transition matrix (lag window + tiny agg)",
+              ("events", "ml")),
     QuerySpec("rolling_weekly_active_users", rolling_weekly_active_users,
               ROLLING_WAU_SQL,
               "trailing-7-day distinct users via bounded calendar join",

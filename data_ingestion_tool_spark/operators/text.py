@@ -1471,7 +1471,60 @@ GROUP BY batch_id
 """
 
 
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity diagnostic: per-source Shannon entropy of the
+    token distribution (nats). Low entropy flags templated/boilerplate
+    sources; the number every corpus-mixing decision wants next to raw
+    byte counts.
+
+    Scale shape: one (source, term) hash-agg (map-side combinable),
+    per-source totals ride the same aggregate tree, entropy is
+    Σ −p·ln p over the |source|×|vocab| counts — the corpus shuffles
+    once, by term-within-source. Rounded to 4dp (float-sum wobble is
+    orders below)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    terms = d.select("source", F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tf.groupBy("source").agg(F.sum("n").alias("n_total"))
+    p_ = F.col("n").cast("double") / F.col("n_total")
+    return (
+        tf.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(-F.sum(p_ * F.log(p_)), 4).alias("entropy_nats"),
+        )
+    )
+
+
+SOURCE_TOKEN_ENTROPY_SQL = r"""
+WITH tf AS (
+  SELECT source, t.term, COUNT(*) AS n
+  FROM (SELECT source,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(toks) AS t(term)
+  WHERE t.term <> ''
+  GROUP BY source, t.term
+), tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_total FROM tf GROUP BY source
+)
+SELECT tf.source, COUNT(*) AS n_terms,
+       ROUND(-SUM((CAST(n AS DOUBLE) / n_total)
+                  * LN(CAST(n AS DOUBLE) / n_total)), 4) AS entropy_nats
+FROM tf JOIN tot ON tf.source = tot.source
+GROUP BY tf.source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("source_token_entropy", source_token_entropy,
+              SOURCE_TOKEN_ENTROPY_SQL,
+              "per-source Shannon token entropy (boilerplate detector)",
+              ("text", "profiling")),
     QuerySpec("length_bucketed_batches", length_bucketed_batches,
               LENGTH_BUCKETED_BATCHES_SQL,
               "inference length bucketing: per-batch padding-waste stats",
