@@ -603,7 +603,72 @@ FROM batch b LEFT JOIN corpus c USING (fingerprint)
 """
 
 
+_SPAN_W = 8  # tokens per window (ExactSubstr uses 50; testdata docs are ~40 tokens)
+
+
+def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (the ExactSubstr method of
+    Lee et al. 2022, arXiv:2107.06499, at window granularity): find
+    document pairs sharing at least one verbatim {w}-token span.
+    Catches partial/quoted duplication that document-level
+    fingerprints miss and near-dup similarity underweights.
+
+    Scale shape: every doc explodes into its stride-1 window hashes
+    (md5 of the joined tokens — cross-engine deterministic, so the
+    oracle replays exactly); one hash-agg groups postings by window;
+    only windows hitting ≥2 DISTINCT docs expand into pairs, so the
+    pair fan-out is bounded by true collisions, never |docs|². The
+    full suffix-array formulation replaces the windowing at byte
+    granularity; the distributed shape (posting lists → collision
+    pairs) is identical."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - _SPAN_W + 1, F.lit(0)),
+                ),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, _SPAN_W), " ")),
+            )
+        ).alias("h"),
+    ).distinct()
+    return (
+        wins.alias("a")
+        .join(wins.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+shared_span_pairs.__doc__ = shared_span_pairs.__doc__.format(w=_SPAN_W)
+
+
+SHARED_SPAN_PAIRS_SQL = rf"""
+WITH wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(toks[i:i+{_SPAN_W}-1], ' ')) AS h
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(generate_series(1, GREATEST(len(toks) - {_SPAN_W} + 1, 0)))
+         AS g(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("shared_span_pairs", shared_span_pairs, SHARED_SPAN_PAIRS_SQL,
+              "ExactSubstr-style verbatim span collision pairs",
+              ("dedup", "text")),
     QuerySpec("dedup_exact_docs", dedup_exact_docs, DEDUP_EXACT_DOCS_SQL,
               "exact dedup via content fingerprint", ("dedup",)),
     QuerySpec("dedup_incremental", dedup_incremental, DEDUP_INCREMENTAL_SQL,
