@@ -441,6 +441,29 @@ FROM (
 """
 
 
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media rollup: per-type counts and duration stats
+    WITHOUT touching payload bytes — the reason the media table keeps
+    typed metadata beside the opaque payload. Plan-asserted: the
+    parquet ReadSchema excludes ``payload``, so at 100 TB of video
+    this scans kilobytes of metadata, not the corpus."""
+    m = media_table_from_documents(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("meta.duration_ms").cast("long")).alias("total_ms"),
+        F.max("meta.duration_ms").alias("max_ms"),
+    )
+
+
+MEDIA_METADATA_STATS_SQL = f"""
+SELECT 'video' AS media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM({_DUR_BASE} + n_chars % {_DUR_MOD}) AS BIGINT) AS total_ms,
+       CAST(MAX({_DUR_BASE} + n_chars % {_DUR_MOD}) AS INT) AS max_ms
+FROM documents
+"""
+
+
 def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact media dedup: md5 over the raw payload BYTES — duplicates
     are found without ever decoding (the first pass every multimodal
@@ -476,6 +499,10 @@ def _specs():
     from data_ingestion_tool_spark.operators.base import QuerySpec
 
     return [
+        QuerySpec("media_metadata_stats", media_metadata_stats,
+                  MEDIA_METADATA_STATS_SQL,
+                  "metadata-only media rollup (payload column never read)",
+                  ("multimodal", "agg")),
         QuerySpec("media_dedup_exact", media_dedup_exact,
                   MEDIA_DEDUP_EXACT_SQL,
                   "decode-free exact payload dedup (md5 digest hash-agg)",

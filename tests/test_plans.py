@@ -452,3 +452,14 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         ):
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_media_metadata_query_never_reads_payload(spark):
+    """The metadata-only media rollup must prune the payload column at
+    the scan — at 100 TB of video this is KB of metadata, not the
+    corpus. (The synthetic media table derives payload from documents
+    .text, so the assert is that `text`/payload bytes stay unread.)"""
+    rep = plan_report(REG["media_metadata_stats"].builder(spark, SF_CORRECT))
+    assert rep.read_schemas
+    assert "text" not in rep.read_schemas[0]
+    assert "payload" not in rep.read_schemas[0]
