@@ -60,6 +60,8 @@ HEADLINE = [
     "media_dedup_exact",
     "temperature_mixed_sample",
     "corpus_prep_pipeline",
+    "shared_span_pairs",
+    "rolling_weekly_active_users",
 ]
 
 
