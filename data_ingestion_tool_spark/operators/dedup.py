@@ -665,7 +665,80 @@ FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
 """
 
 
+_CONTAINMENT_T = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (Broder 1997's asymmetric resemblance):
+    pairs where |A∩B| / min(|A|,|B|) ≥ {t} — the smaller shingle set
+    nearly contained in the larger. Catches subset duplication
+    (a document embedded inside a longer one) that SYMMETRIC Jaccard
+    underweights: a 40-gram doc fully inside a 400-gram doc has
+    Jaccard 0.1 but containment 1.0.
+
+    Scale shape: same inverted-index discipline as the Jaccard
+    operator — hashed postings self-join on the 64-bit shingle (pairs
+    emerge only from true collisions), intersection counts by one
+    hash-agg, sizes broadcast back; containment verified exactly on
+    the counts, never an all-pairs enumeration. The oracle replays
+    string n-grams (hash collisions ~|shingles|²/2⁶⁴ — negligible)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sets = shingle_sets(docs)
+    post = hashed_postings(sets)
+    inter = (
+        post.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            post.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter").cast("double") / F.least("na", "nb")
+            >= _CONTAINMENT_T
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+dedup_containment.__doc__ = dedup_containment.__doc__.format(t=_CONTAINMENT_T)
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / LEAST(len(a.s), len(b.s)) >= {_CONTAINMENT_T}
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL,
+              "asymmetric containment pairs (subset-duplicate detector)",
+              ("dedup", "text")),
     QuerySpec("shared_span_pairs", shared_span_pairs, SHARED_SPAN_PAIRS_SQL,
               "ExactSubstr-style verbatim span collision pairs",
               ("dedup", "text")),
