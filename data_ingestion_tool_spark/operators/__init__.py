@@ -35,75 +35,78 @@ _MODULES = [
 #: the entries that need fresh driver rows; tests assert every name
 #: exists in the registry.
 #:
-#: ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this
-#: window, rotate the proven entries out and pin the round-2 additions
-#: that have never seen a driver row — corpus_prep_pipeline,
-#: semantic_dedup, text_semantic_dedup, embed_documents,
-#: media_dedup_exact, point_in_time_features, unigram_logprob_scores,
-#: source_mixing_weights, temperature_mixed_sample, dq_orphan_orders,
-#: dq_duplicate_linenumbers, dq_value_bounds, dq_price_drift_psi,
-#: sketch_user_reach, and the ten tpch_q* shapes.
+#: ROUND-3 ROTATION (executed): CORRECTNESS_r01+r02 are cumulatively
+#: green for 92 distinct queries; this window pins 50 of the 52
+#: oracle-paired queries that have never had a driver row — the
+#: round-2 flagship tier (corpus_prep_pipeline, semantic_dedup,
+#: media_dedup_exact, mixing, dq_*, all ten tpch_q* and the
+#: point-in-time / span-dedup ops).
+#:
+#: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, pin the
+#: two deferred entries (window_rank_extras, agg_string_concat — their
+#: window/agg families are already driver-green from r01) plus every
+#: oracle-paired query added in round 3.
 _FRONT = [
-    # flagship reference parity + composed pipeline
-    "validate_lineitem",
-    "training_data_pipeline",
-    # dedup tier (simhash/near_clusters rotate out: rows-only checks,
-    # pytest-verified; the oracle-paired ops take the slots)
-    "dedup_exact_docs",
-    "dedup_first_event",
-    "dedup_ngram_jaccard",
+    # composed flagships (round-2 additions, never driver-checked)
+    "corpus_prep_pipeline",
+    "semantic_dedup",
+    # dedup tier
+    "shared_span_pairs",
+    "dedup_containment",
+    "dedup_incremental",
     # similarity / embeddings tier
-    "ann_bruteforce_topk",
-    "embedding_near_dup",
-    "embedding_near_dup_blocked",
-    "fuzzy_title_pairs",
-    # text tier
-    "tfidf_top_terms",
-    "normalize_text",
-    "doc_chunks",
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "token_counts",
-    "doc_fingerprints",
-    "decontaminate_ngram_overlap",
-    "repetition_score",
-    "doc_train_split",
-    "redact_pii",
-    # event-time windows
-    "tumbling_hourly",
-    "sliding_hourly",
-    "session_windows",
-    "top_purchasers",
-    "multires_rollup",
-    # multimodal plumbing
-    "media_decode_shapes",
-    "media_feature_norms",
-    "media_audio_samples",
-    "media_resize_shapes",
-    "media_frame_sample",
-    # skew handling
-    "salted_revenue_by_priority",
-    # events queries repaired in round 2 (nanos parquet under any session)
-    "asof_last_event",
-    "explode_event_props",
-    "scalar_json_events",
-    "scalar_variant_events",
-    "user_funnel",
-    "purchases_after_clicks",
-    # new-capability queries (round 2): need first driver rows
-    "unpivot_lineitem_metrics",
-    "orders_above_customer_avg",
-    "agg_trimmed_mean_pandas",
-    "events_gap_fill",
-    "pack_token_budget",
-    "quality_score_linear",
-    "lateral_top_orders",
-    "orders_exists_subquery",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "scd2_user_history",
-    "incremental_hourly_counts",
+    "ann_filtered_topk",
+    "contrastive_negatives",
+    # text / LLM-pipeline tier
+    "unigram_logprob_scores",
+    "source_mixing_weights",
+    "temperature_mixed_sample",
+    "boilerplate_ngram_flags",
+    "doc_sample_balanced",
+    "vocab_oov_rate",
+    "source_token_entropy",
+    "length_bucketed_batches",
+    # data-quality audit tier
+    "dq_orphan_orders",
+    "dq_duplicate_linenumbers",
+    "dq_value_bounds",
+    "dq_price_drift_psi",
+    "profile_orders",
+    # multimodal
+    "media_metadata_stats",
+    "media_dedup_exact",
+    # events / temporal analytics
+    "event_transition_matrix",
+    "rolling_weekly_active_users",
+    "event_value_anomalies",
+    "user_retention_cohorts",
+    "value_histogram",
+    # range / as-of joins
+    "next_purchase_value",
+    "global_click_purchase_pairs",
+    "point_in_time_features",
+    # relational remainder
+    "equi_depth_histogram",
+    "important_part_stock",
+    "top_supplier_revenue",
+    "idle_rich_customers",
+    "orders_snapshot_diff",
+    "hierarchy_rollup_cte",
+    "winsorized_prices",
+    "agg_regression",
+    "join_key_skew_profile",
+    # TPC-H remainder
+    "tpch_q4_late_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_shape",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_last_shipper",
 ]
 
 
