@@ -604,50 +604,83 @@ FROM batch b LEFT JOIN corpus c USING (fingerprint)
 
 
 _SPAN_W = 8  # tokens per window (ExactSubstr uses 50; testdata docs are ~40 tokens)
+#: Boilerplate guard: a window hash hitting more than this many distinct
+#: docs is treated as boilerplate (license headers, disclaimers, nav
+#: chrome) and emits NO pairs. Without it one verbatim span shared by k
+#: docs fans out k² pairs — at web-corpus scale a disclaimer in 10⁶ docs
+#: would emit 10¹² pairs from a single hash. Testdata max df is 4, so
+#: the cap is semantics-preserving at every test SF while bounding the
+#: worst key at 100 TB to C({cap},2) pairs.
+_SPAN_DF_CAP = 32
 
 
 def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate detection (the ExactSubstr method of
     Lee et al. 2022, arXiv:2107.06499, at window granularity): find
-    document pairs sharing at least one verbatim {w}-token span.
-    Catches partial/quoted duplication that document-level
-    fingerprints miss and near-dup similarity underweights.
+    document pairs sharing at least one verbatim {w}-token span whose
+    document frequency is ≤ {cap} (hotter spans are boilerplate by
+    definition and are dropped, not expanded). Catches partial/quoted
+    duplication that document-level fingerprints miss and near-dup
+    similarity underweights.
 
-    Scale shape: every doc explodes into its stride-1 window hashes
-    (md5 of the joined tokens — cross-engine deterministic, so the
-    oracle replays exactly); one hash-agg groups postings by window;
-    only windows hitting ≥2 DISTINCT docs expand into pairs, so the
-    pair fan-out is bounded by true collisions, never |docs|². The
-    full suffix-array formulation replaces the windowing at byte
-    granularity; the distributed shape (posting lists → collision
-    pairs) is identical."""
+    Scale shape: docs shorter than the window emit nothing (guard, not
+    crash); each survivor builds its per-doc-distinct window-hash array
+    narrow-side (``array_distinct`` before the explode — no shuffle
+    spent on doc-level dedup); ONE hash partitioning on the window hash
+    serves the doc-frequency count (window function) AND the posting
+    list collection (hash-agg on the same key needs no new exchange),
+    and only hashes with 2 ≤ df ≤ {cap} survive into a posting list —
+    so the collected state per group is ≤ {cap} ids and the pair
+    fan-out per key ≤ C({cap},2) no matter how skewed the corpus.
+    Pairs expand NARROWLY from the sorted list (no self-join, so the
+    heavy hash subtree is computed once, not once per join side). md5
+    of the joined tokens is cross-engine deterministic, so the oracle
+    replays exactly (the oracle keeps the equivalent self-join
+    formulation — same rows; DuckDB plans its own shape). The full
+    suffix-array formulation replaces the windowing at byte
+    granularity; the distributed shape (posting lists → capped
+    collision pairs) is identical."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(toks) - _SPAN_W + 1, F.lit(0)),
-                ),
-                lambda i: F.md5(F.array_join(F.slice(toks, i, _SPAN_W), " ")),
-            )
-        ).alias("h"),
-    ).distinct()
-    return (
-        wins.alias("a")
-        .join(wins.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+    hashes = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - _SPAN_W + 1),
+            lambda i: F.md5(F.array_join(F.slice("toks", i, _SPAN_W), " ")),
         )
+    )
+    wins = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _SPAN_W)
+        .select("doc_id", F.explode(hashes).alias("h"))
+    )
+    posts = (
+        wins.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= _SPAN_DF_CAP))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    return (
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
-shared_span_pairs.__doc__ = shared_span_pairs.__doc__.format(w=_SPAN_W)
+shared_span_pairs.__doc__ = shared_span_pairs.__doc__.format(
+    w=_SPAN_W, cap=_SPAN_DF_CAP
+)
 
 
 SHARED_SPAN_PAIRS_SQL = rf"""
@@ -659,42 +692,74 @@ WITH wins AS (
         FROM documents),
        UNNEST(generate_series(1, GREATEST(len(toks) - {_SPAN_W} + 1, 0)))
          AS g(i)
+  WHERE len(toks) >= {_SPAN_W}
+),
+cand AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM wins
+  ) WHERE df BETWEEN 2 AND {_SPAN_DF_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+FROM cand a JOIN cand b ON a.h = b.h AND a.doc_id < b.doc_id
 """
 
 
 _CONTAINMENT_T = 0.8
+#: Same boilerplate guard as ``_SPAN_DF_CAP``: a shingle in more than
+#: this many distinct docs carries no duplication signal (it's stock
+#: phrasing) but IS the hottest join key. Postings above the cap are
+#: dropped from BOTH the intersection counts and the per-doc sizes, so
+#: containment is computed over the informative-shingle universe and
+#: stays a well-defined ratio. Testdata max shingle df is 25 — below
+#: the cap, so test-scale results are unchanged.
+_CONTAINMENT_DF_CAP = 64
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dedup (Broder 1997's asymmetric resemblance):
-    pairs where |A∩B| / min(|A|,|B|) ≥ {t} — the smaller shingle set
-    nearly contained in the larger. Catches subset duplication
-    (a document embedded inside a longer one) that SYMMETRIC Jaccard
-    underweights: a 40-gram doc fully inside a 400-gram doc has
-    Jaccard 0.1 but containment 1.0.
+    pairs where |A∩B| / min(|A|,|B|) ≥ {t} over shingles with document
+    frequency ≤ {cap} — the smaller shingle set nearly contained in
+    the larger. Catches subset duplication (a document embedded inside
+    a longer one) that SYMMETRIC Jaccard underweights: a 40-gram doc
+    fully inside a 400-gram doc has Jaccard 0.1 but containment 1.0.
 
     Scale shape: same inverted-index discipline as the Jaccard
-    operator — hashed postings self-join on the 64-bit shingle (pairs
-    emerge only from true collisions), intersection counts by one
-    hash-agg, sizes broadcast back; containment verified exactly on
-    the counts, never an all-pairs enumeration. The oracle replays
-    string n-grams (hash collisions ~|shingles|²/2⁶⁴ — negligible)."""
+    operator — pairs emerge only from true shingle collisions, never
+    an all-pairs enumeration. ONE hash partitioning on the 64-bit
+    shingle serves the df window count, the posting-list collection
+    (hash-agg on the same key, no new exchange), and the per-doc size
+    recount (ReusedExchange on the other branch). The df cap bounds
+    collected state per group to ≤ {cap} ids and the hottest key to
+    C({cap},2) pairs; pair expansion is narrow (no self-join, the
+    postings subtree is computed once). Intersection counts come from
+    one hash-agg over the expanded pairs; sizes broadcast back. The
+    oracle replays string n-grams (hash collisions ~|shingles|²/2⁶⁴ —
+    negligible)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sets = shingle_sets(docs)
-    post = hashed_postings(sets)
+    kept = hashed_postings_from_docs(docs).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= _CONTAINMENT_DF_CAP)
+    lists = (
+        kept.filter(F.col("df") >= 2)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
     inter = (
-        post.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(
-            post.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return (
         inter.join(
             F.broadcast(
@@ -716,22 +781,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dedup_containment.__doc__ = dedup_containment.__doc__.format(t=_CONTAINMENT_T)
+dedup_containment.__doc__ = dedup_containment.__doc__.format(
+    t=_CONTAINMENT_T, cap=_CONTAINMENT_DF_CAP
+)
 
 
 DEDUP_CONTAINMENT_SQL = rf"""
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(toks)-1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+WITH post AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         FROM documents)
   WHERE len(toks) >= 3
+),
+kept AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           COUNT(*) OVER (PARTITION BY shingle) AS df
+    FROM post
+  ) WHERE df <= {_CONTAINMENT_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / LEAST(len(a.s), len(b.s)) >= {_CONTAINMENT_T}
+SELECT doc_a, doc_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_T}
 """
 
 

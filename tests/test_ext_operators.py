@@ -521,3 +521,84 @@ def test_text_semantic_dedup_on_planted_corpus(spark, tmp_path):
     assert out[9]["cluster"] == out[8]["cluster"]
     assert not out[10]["keep"]                  # light edit dropped
     assert all(out[i]["keep"] for i in (*range(8), 11))  # distinct survive
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def _duck_on(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_shared_span_pairs_cap_and_short_docs(spark, tmp_path):
+    """Round-2 advice regression: (a) docs shorter than the window must
+    emit no windows instead of crashing in slice(start=0); (b) a span
+    hotter than _SPAN_DF_CAP docs is boilerplate and must expand into
+    ZERO pairs (the k² skew guard); (c) the DuckDB oracle must agree on
+    both behaviors on the same corpus."""
+    from data_ingestion_tool_spark.operators.dedup import (
+        SHARED_SPAN_PAIRS_SQL,
+        _SPAN_DF_CAP,
+        _SPAN_W,
+        shared_span_pairs,
+    )
+    from tests.parity import compare
+
+    span = " ".join(f"s{i}" for i in range(_SPAN_W))
+    boiler = " ".join(f"b{i}" for i in range(_SPAN_W))
+    rows = [(0, f"alpha {span} tail0"), (1, f"beta {span} tail1")]
+    rows += [
+        (10 + k, f"u{k}x u{k}y {boiler} u{k}z")
+        for k in range(_SPAN_DF_CAP + 4)
+    ]
+    rows += [
+        (500, "tiny doc"),
+        (501, " ".join(f"t{i}" for i in range(_SPAN_W - 1))),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    out = shared_span_pairs(spark, sf_dir)
+    assert [(r["doc_a"], r["doc_b"]) for r in out.collect()] == [(0, 1)]
+    assert compare(out, _duck_on(sf_dir, SHARED_SPAN_PAIRS_SQL)) == []
+
+
+def test_dedup_containment_cap_and_parity(spark, tmp_path):
+    """A shingle hotter than _CONTAINMENT_DF_CAP docs carries no
+    duplication signal: identical docs replicated past the cap lose all
+    surviving shingles and emit no pairs (they are exact-dedup's job,
+    caught upstream), while a genuine subset-duplicate pair below the
+    cap still scores containment 1.0. Oracle must agree."""
+    from data_ingestion_tool_spark.operators.dedup import (
+        DEDUP_CONTAINMENT_SQL,
+        _CONTAINMENT_DF_CAP,
+        dedup_containment,
+    )
+    from tests.parity import compare
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(10))),
+        (1, " ".join(f"w{i}" for i in range(12)) + " zz"),
+    ]
+    rows += [
+        (10 + k, " ".join(f"hot{i}" for i in range(10)))
+        for k in range(_CONTAINMENT_DF_CAP + 6)
+    ]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    out = dedup_containment(spark, sf_dir)
+    assert [(r["doc_a"], r["doc_b"]) for r in out.collect()] == [(0, 1)]
+    assert compare(out, _duck_on(sf_dir, DEDUP_CONTAINMENT_SQL)) == []
