@@ -54,6 +54,7 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, the nearest right row at-or-before (backward)
     / at-or-after (forward) its ``on`` timestamp within the same ``by``
@@ -67,34 +68,50 @@ def asof_join(
     includes same-instant matches; left-before-right excludes them),
     so the row frame never needs a value-based bound.
 
+    ``tiebreak`` names a right-side column appended (ascending) to the
+    intra-timestamp sort: when several right rows share one ``(by, on)``
+    instant, backward picks the HIGHEST tiebreak row, forward the
+    LOWEST — deterministic across engines instead of partition-order
+    luck. It must not collide with a left column; it is dropped from
+    the output. Without it, same-instant right-row ties keep engine
+    order (pandas ``merge_asof`` parity, differential-tested).
+
     Scale shape: ONE shuffle on ``by``, one spill-safe sort — never a
-    pair join. Matches ``pandas.merge_asof`` semantics (differential
-    test in tests/test_rangejoin.py) with deterministic tie-breaks.
+    pair join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if tiebreak is not None and tiebreak in left.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} collides with a left column; "
+            "alias it on the right side first"
+        )
 
+    extra = [tiebreak] if tiebreak is not None else []
     lcols = left.columns
     l = left.withColumn("_side", F.lit(1))
     r = right.select(
         *by,
         F.col(on).alias(on),
         *[F.col(c) for c in value_cols],
+        *[F.col(c) for c in extra],
     ).withColumn("_side", F.lit(0))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    for c in value_cols:
+    for c in value_cols + extra:
         if c not in l.columns:
             l = l.withColumn(c, F.lit(None))
-    u = l.select(*lcols, *value_cols, "_side").unionByName(
-        r.select(*lcols, *value_cols, "_side")
+    u = l.select(*lcols, *value_cols, *extra, "_side").unionByName(
+        r.select(*lcols, *value_cols, *extra, "_side")
     )
 
     # Same-ts ordering decides exact-match semantics (see docstring).
     right_first = allow_exact_matches == (direction == "backward")
     side_order = F.col("_side").asc() if right_first else F.col("_side").desc()
-    base = Window.partitionBy(*by).orderBy(F.col(on), side_order)
+    base = Window.partitionBy(*by).orderBy(
+        F.col(on), side_order, *[F.col(c).asc() for c in extra]
+    )
 
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, -1)
@@ -218,6 +235,7 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("value").alias("v"), F.col("ts").alias("t")
         ).alias("last_click"),
+        F.col("event_id").alias("_click_id"),
     )
     return asof_join(
         purchases,
@@ -227,6 +245,7 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["last_click"],
         direction="backward",
         allow_exact_matches=False,
+        tiebreak="_click_id",
     ).select(
         "event_id", "user_id", "purchase_value",
         F.col("last_click.v").alias("last_click_value"),
@@ -251,7 +270,7 @@ FROM (
     FROM events WHERE event_type IN ('click', 'purchase')
   )
   WINDOW w AS (PARTITION BY user_id
-               ORDER BY ts, side DESC
+               ORDER BY ts, side DESC, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ) WHERE side = 1
 """
@@ -272,6 +291,7 @@ def next_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("value").alias("v"), F.col("ts").alias("t")
         ).alias("next_purchase"),
+        F.col("event_id").alias("_purchase_id"),
     )
     return asof_join(
         clicks,
@@ -281,6 +301,7 @@ def next_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["next_purchase"],
         direction="forward",
         allow_exact_matches=True,
+        tiebreak="_purchase_id",
     ).select(
         "event_id", "user_id",
         F.col("next_purchase.v").alias("next_purchase_value"),
@@ -304,7 +325,7 @@ FROM (
     FROM events WHERE event_type IN ('click', 'purchase')
   )
   WINDOW w AS (PARTITION BY user_id
-               ORDER BY ts, side DESC
+               ORDER BY ts, side DESC, event_id
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ) WHERE side = 1
 """

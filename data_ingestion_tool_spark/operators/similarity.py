@@ -494,34 +494,73 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def label_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label top covariance eigenvalue — grouped ``applyInPandas``:
-    each label's vectors arrive as one pandas group, numpy does the
-    64×64 eigendecomposition. The canonical shape for per-group ML
-    that SQL can't express; state is one group in memory at a time,
-    groups spread across executors. Rows-only driver check
-    (eigensolver is engine-specific); invariants tested.
+    """Per-label top covariance eigenvalue via BOUNDED moment
+    accumulation (round-2 scale fix: the previous grouped
+    ``applyInPandas`` held every vector of a label in one executor's
+    memory — one skewed label OOMs at corpus scale).
+
+    Scale shape: each Arrow batch emits one (d + d²)-double moment row
+    per label it sees (Σv and Σvvᵀ from a single BLAS ``m.T @ m`` —
+    state bounded by the batch, never the label); the partials explode
+    to (label, idx, val) and ONE JVM hash-agg sums them, so the only
+    thing that ever converges per label is a 4 KB moment vector. The
+    eigensolve then runs on the d×d matrix reassembled from exactly
+    d+d² aggregated values per label — bounded by construction, data
+    size can grow 1000× without changing any group's footprint.
+    Rows-only driver check (eigensolver is engine-specific);
+    invariants tested.
     """
     import numpy as np
     import pandas as pd
 
+    d = _DIM
     emb = _emb(spark, sf_dir).select("label", "embedding")
 
-    def top_eig(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        if len(m) < 2:
+    def partial_moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for lb, g in pdf.groupby("label"):
+                m = np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+                out.append(
+                    (
+                        int(lb),
+                        len(m),
+                        np.concatenate([m.sum(axis=0), (m.T @ m).ravel()]).tolist(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["label", "n", "s"])
+
+    partials = emb.mapInPandas(
+        partial_moments, "label int, n long, s array<double>"
+    )
+    counts = partials.groupBy("label").agg(F.sum("n").alias("n"))
+    moments = (
+        partials.select("label", F.posexplode("s").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(F.sum("val").alias("val"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "val"))).alias("sv"))
+        .join(counts, "label")
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        n = int(row["n"])
+        vals = np.array([x["val"] for x in row["sv"]], dtype=np.float64)
+        if n < 2:
             ev = 0.0
         else:
-            ev = float(np.linalg.eigvalsh(np.cov(m.T))[-1])
+            mu = vals[:d] / n
+            cov = (vals[d:].reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+            ev = float(np.linalg.eigvalsh(cov)[-1])
         return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n": [len(m)],
-                "top_eig": [round(ev, 6)],
-            }
+            {"label": [int(row["label"])], "n": [n], "top_eig": [round(ev, 6)]}
         )
 
-    return emb.groupBy("label").applyInPandas(
-        top_eig, "label int, n long, top_eig double"
+    return moments.groupBy("label").applyInPandas(
+        solve, "label int, n long, top_eig double"
     )
 
 
@@ -597,55 +636,40 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter of a training pipeline (drop mislabeled/degenerate
     points).
 
-    Two grouped passes, no collection: centroids via applyInPandas
-    (one group in memory at a time), then a broadcast of the tiny
-    centroid table scores every vector batch in BLAS. Rows-only check
-    (float threshold boundary is engine-specific); invariants tested.
+    100% JVM (round-2 scale fix: the previous grouped ``applyInPandas``
+    centroid pass held every vector of a label in one executor's
+    memory, then collected to the driver): row vectors are normalized
+    with Column expressions, centroids are d per-element SUM aggregates
+    (partial+final hash-agg — per-group state is one 64-double array no
+    matter the label's row count), and the tiny centroid table
+    broadcasts back onto the stream where the cosine distance is a
+    ``zip_with``/``aggregate`` expression under codegen. Rows-only
+    check (float threshold boundary is engine-specific); invariants
+    tested.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-
-    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        c = m.mean(axis=0)
-        c = c / np.linalg.norm(c)
-        return pd.DataFrame(
-            {"label": [int(pdf["label"].iloc[0])], "centroid": [c.tolist()]}
-        )
-
-    centroids = (
-        emb.groupBy("label")
-        .applyInPandas(centroid, "label int, centroid array<double>")
-        .toPandas()
+    # norms materialized in their own select so the division lambda
+    # never re-evaluates them per array element
+    with_norm = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("nrm0", _norm(F.col("v"))).withColumn(
+        "nrm", F.when(F.col("nrm0") == 0.0, F.lit(1.0)).otherwise(F.col("nrm0"))
     )
-    cent_map = {
-        int(r["label"]): np.asarray(r["centroid"]) for _, r in centroids.iterrows()
-    }
-    bc = spark.sparkContext.broadcast(cent_map)
-
-    def score(batches):
-        cents = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            labels = pdf["label"].to_numpy()
-            dists = np.array(
-                [1.0 - float(v @ cents[int(lb)]) for v, lb in zip(m, labels)]
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "label": labels,
-                    "dist": dists,
-                }
-            )
-
-    scored = emb.mapInPandas(score, "vec_id long, label int, dist double")
+    unit = with_norm.select(
+        "vec_id", "label", F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    csum = unit.groupBy("label").agg(
+        F.array(
+            *[F.sum(F.element_at("u", i + 1)).alias(f"s{i}") for i in range(_DIM)]
+        ).alias("cs")
+    )
+    cent = csum.withColumn("cnrm", _norm(F.col("cs"))).select(
+        "label",
+        F.transform("cs", lambda x: x / F.col("cnrm")).alias("c"),
+    )
+    scored = unit.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", (F.lit(1.0) - _dot(F.col("u"), F.col("c"))).alias("dist")
+    )
     stats = scored.groupBy("label").agg(
         F.mean("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
     )
@@ -1151,7 +1175,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("label_centroid_norms", label_centroid_distances, None,
               "per-label centroid aggregation", ("similarity",)),
     QuerySpec("label_top_eigenvalue", label_top_eigenvalue, None,
-              "per-group eigendecomposition via applyInPandas",
+              "per-label top eigenvalue via bounded moment aggregation",
               ("similarity",)),
     QuerySpec("embedding_outliers", embedding_outliers, None,
               "per-label centroid-distance outliers (mean + 2 sigma)",

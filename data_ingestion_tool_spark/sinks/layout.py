@@ -269,10 +269,13 @@ def write_training_shards(
     key checksum) is built from filesystem listing + a per-shard
     aggregate, and written next to the shards. Returns the manifest.
 
-    At 100 TB: n_shards scales with corpus bytes (shards of ~1-4 GB);
-    the single ``partitionBy`` write is shuffle-free (each task writes
-    its partitions' shard files), and the checksum aggregate is one
-    map-side-combinable pass.
+    At 100 TB: n_shards scales with corpus bytes (shards of ~1-4 GB).
+    The write spends ONE explicit shuffle (``repartition`` on the shard
+    id) to co-locate each shard into a single task — the deliberate
+    trade-off versus a shuffle-free ``partitionBy``, which would have
+    every input task open a file per shard it touches (tasks × shards
+    small files); after the shuffle the store holds O(n_shards) files.
+    The checksum aggregate is one map-side-combinable pass.
     """
     spark = df.sparkSession
     sharded = df.withColumn(
@@ -292,8 +295,17 @@ def write_training_shards(
         staged.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            # xor, not sum: order-insensitive AND overflow-free under ANSI
-            F.expr(f"bit_xor(xxhash64({key}))").alias("key_checksum"),
+            # MULTISET checksum: sum of key hashes mod 2⁶⁴ (decimal
+            # accumulator so ANSI never overflows). Order-insensitive,
+            # and — unlike a plain bit_xor, where a dropped/duplicated
+            # PAIR of identical keys cancels out — any multiplicity
+            # change moves the sum by k·h(key) ≠ 0.
+            F.expr(
+                f"cast(pmod(sum(cast(xxhash64({key}) as decimal(38,0))"
+                " + cast(9223372036854775808 as decimal(38,0))),"
+                " cast(18446744073709551616 as decimal(38,0)))"
+                " as decimal(20,0))"
+            ).alias("key_checksum"),
         )
     )
     bytes_by_shard = _shard_bytes(spark, data_dir)

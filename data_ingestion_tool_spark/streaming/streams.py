@@ -355,8 +355,13 @@ def incremental_reach_stream(
     cheap sketch union instead of a history re-scan.
 
     The merge is idempotent per micro-batch id via write-ahead
-    semantics: state is re-read and fully rewritten atomically each
-    batch (tiny — |event_types| rows), so checkpoint replays converge.
+    semantics: state is re-read and fully rewritten each batch (tiny —
+    |event_types| rows), so checkpoint replays converge. The swap
+    renames the old state ASIDE before renaming the new state into
+    place (rename → rename, each atomic on a POSIX filesystem), so a
+    crash never leaves a moment with no state on disk: on recovery
+    either the new dir, or the old dir at ``__old``, survives and the
+    replayed micro-batch rebuilds from it.
     """
     import os
 
@@ -369,6 +374,11 @@ def incremental_reach_stream(
         delta = batch_df.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id").alias("sk")
         )
+        old = state_dir.rstrip("/") + "__old"
+        # recover a swap interrupted between the two renames below:
+        # the accumulated state survives at __old
+        if not os.path.exists(state_dir) and os.path.exists(old):
+            os.rename(old, state_dir)
         if os.path.exists(state_dir):
             prev = spark.read.parquet(state_dir)
             merged = (
@@ -382,9 +392,13 @@ def incremental_reach_stream(
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         import shutil
 
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, old)
         os.rename(tmp, state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     writer = events.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -226,10 +226,13 @@ def write_xlsx(
         _cell_xml(f"{_col_name(i)}1", str(c)) for i, c in enumerate(pdf.columns)
     )
     out_rows.append(f'<row r="1">{header_cells}</row>')
-    for rix, (_, row) in enumerate(pdf.iterrows(), start=2):
+    # column zip, not iterrows: no per-row Series construction
+    for rix, row in enumerate(
+        zip(*(pdf[c].tolist() for c in pdf.columns)), start=2
+    ):
         cells = "".join(
             _cell_xml(f"{_col_name(i)}{rix}", _plain(v))
-            for i, v in enumerate(row.tolist())
+            for i, v in enumerate(row)
         )
         out_rows.append(f'<row r="{rix}">{cells}</row>')
     sheet_xml = (

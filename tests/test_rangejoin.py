@@ -124,3 +124,36 @@ def test_keyless_range_join_has_no_nested_loop(spark):
     rep = plan_report(global_click_purchase_pairs(spark, SF_CORRECT))
     assert rep.nested_loop_joins == 0
     assert rep.generates == 1  # the bounded 2-bucket fanout
+
+
+def test_asof_join_tiebreak_is_deterministic(spark):
+    """Round-2 advice regression: several right rows at one identical
+    (key, ts) instant must resolve deterministically — backward keeps
+    the HIGHEST tiebreak row, forward the LOWEST — instead of
+    partition-order luck."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 13, 0, 0)
+    left = spark.createDataFrame([(1, t1)], "k int, ts timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, t0, "a", 10), (1, t0, "b", 30), (1, t0, "c", 20)],
+        "k int, ts timestamp_ntz, val string, rid int",
+    )
+    back = asof_join(
+        left, right, on="ts", by=["k"], value_cols=["val"],
+        direction="backward", tiebreak="rid",
+    ).collect()
+    assert [r["val"] for r in back] == ["b"]  # rid 30 wins
+    fwd = asof_join(
+        spark.createDataFrame([(1, t0)], "k int, ts timestamp_ntz"),
+        right, on="ts", by=["k"], value_cols=["val"],
+        direction="forward", tiebreak="rid",
+    ).collect()
+    assert [r["val"] for r in fwd] == ["a"]  # rid 10 wins
+
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left.withColumnRenamed("k", "rid").withColumn("k", F.lit(1)),
+            right, on="ts", by=["k"], value_cols=["val"], tiebreak="rid",
+        )
