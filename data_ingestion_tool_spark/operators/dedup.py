@@ -454,7 +454,9 @@ def simhash_column() -> F.Column:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ 6: 8-bit band
     blocking (8 bands ⇒ guaranteed collision for distance ≤ 7), then
-    JVM-side ``bit_count(xor)`` verification."""
+    JVM-side ``bit_count(xor)`` verification. Hash values are
+    engine-specific (xxhash64) → rows-only check; the oracle-paired
+    exact twin for near-dup semantics is ``dedup_ngram_jaccard``."""
     d = _docs(spark, sf_dir).select("doc_id", simhash_column().alias("sim"))
     bands = [
         F.shiftrightunsigned(F.col("sim"), 8 * b)

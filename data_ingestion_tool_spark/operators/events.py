@@ -525,6 +525,32 @@ def sketch_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of :func:`sketch_user_reach`: per-event-type active
+    days + exact distinct users. The sketch op's estimates are
+    engine-specific (rows-only driver check), so this twin gives the
+    driver a hash-checkable anchor for the same rollup — the pytest
+    error-bound test then ties the sketch to this exact side (the
+    pattern ``embedding_near_dup``/``_blocked`` already uses).
+
+    At 100 TB the sketch variant wins (KB mergeable state vs an exact
+    user-id distinct shuffle); at audit time this exact variant is the
+    ground truth you reconcile the sketches against."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+EXACT_USER_REACH_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day (the DAU/WAU
     engagement metric). Sliding DISTINCT doesn't decompose into window
@@ -630,6 +656,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("sketch_user_reach", sketch_user_reach, None,
               "per-day HLL sketches re-merged into per-type reach",
               ("events", "agg", "sketch")),
+    QuerySpec("exact_user_reach", exact_user_reach, EXACT_USER_REACH_SQL,
+              "exact driver-checkable twin of sketch_user_reach",
+              ("events", "agg")),
     QuerySpec("event_value_anomalies", event_value_anomalies,
               EVENT_VALUE_ANOMALIES_SQL,
               "rolling z-score anomaly detection per user",

@@ -1513,7 +1513,10 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (``sampleBy``): per-language fractions — the
     corpus rebalancing step of a training-data pipeline. Sampling is
     engine-specific (seeded Bernoulli per row) → rows-only check;
-    per-stratum rates are asserted in tests."""
+    per-stratum rates are asserted in tests. The cross-engine
+    deterministic twins are ``doc_sample_balanced`` /
+    ``temperature_mixed_sample`` (md5-uniform draws, oracle-paired,
+    driver-checkable)."""
     d = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

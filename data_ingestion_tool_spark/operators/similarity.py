@@ -700,6 +700,26 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Exact oracle (round-3: this op was rows-only, but the centroid norm
+#: is plain arithmetic — float64 association error ~1e-13 is absorbed
+#: by the ROUND(…, 6) both engines apply). unnest +
+#: generate_subscripts zip in lockstep in the same SELECT list.
+LABEL_CENTROID_NORMS_SQL = """
+WITH el AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+m AS (
+  SELECT label, idx, SUM(val) AS s, COUNT(*) AS n
+  FROM el GROUP BY 1, 2
+)
+SELECT label, n, ROUND(SQRT(SUM((s / n) * (s / n))), 6) AS centroid_norm
+FROM m GROUP BY label, n
+"""
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 8
 
@@ -1172,7 +1192,8 @@ SPECS: list[QuerySpec] = [
               "IVF coarse-quantized approximate cosine top-k", ("similarity",)),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               "cosine-threshold near-dup pairs", ("similarity", "dedup")),
-    QuerySpec("label_centroid_norms", label_centroid_distances, None,
+    QuerySpec("label_centroid_norms", label_centroid_distances,
+              LABEL_CENTROID_NORMS_SQL,
               "per-label centroid aggregation", ("similarity",)),
     QuerySpec("label_top_eigenvalue", label_top_eigenvalue, None,
               "per-label top eigenvalue via bounded moment aggregation",

@@ -808,6 +808,39 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of :func:`heavy_hitter_terms`: full term counts with
+    a deterministic tie-break, top-``_HH_CAPACITY``. The MG sketch's
+    counts are batch-layout-specific (rows-only driver check), so this
+    twin pins the same top-terms question with a hash-checkable
+    answer; the MG underestimate bound vs these exact counts is
+    pytest-asserted.
+
+    The shuffle here is |vocabulary|-sized — exactly the cost the
+    sketch avoids at 100 TB — but top-k leaves each partition partial
+    (TakeOrderedAndProject), so only k rows reach the driver."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_count"))
+        .orderBy(F.desc("n_count"), "term")
+        .limit(_HH_CAPACITY)
+    )
+
+
+EXACT_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS n_count
+FROM toks GROUP BY term
+ORDER BY n_count DESC, term
+LIMIT {_HH_CAPACITY}
+"""
+
+
 #: Boilerplate detection: an n-gram is "boilerplate" when it appears in
 #: ≥ max(2, ceil(_BOILER_DF_FRAC · n_docs)) distinct documents; a doc
 #: is dropped when more than _BOILER_KEEP_FRAC of its distinct n-grams
@@ -1554,6 +1587,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec("heavy_hitter_terms", heavy_hitter_terms, None,
               "Misra-Gries bounded-state heavy-hitter sketch",
               ("text", "sketch")),
+    QuerySpec("exact_top_terms", exact_top_terms, EXACT_TOP_TERMS_SQL,
+              "exact driver-checkable twin of heavy_hitter_terms",
+              ("text", "agg")),
     QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
               BOILERPLATE_SQL,
               "corpus-frequency boilerplate n-gram detection + keep flag",

@@ -86,6 +86,30 @@ def test_events_queries_match_oracle_at_sf01(spark, name):
     assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
 
 
+# The driver's 50-query correctness window (operators.__init__._FRONT),
+# swept at sf0.1 — 10× the driver's gate scale — so scale-sensitive
+# ties, limits, and float boundaries surface locally before the
+# external run (round-2 verdict item 6).
+from data_ingestion_tool_spark.operators import _FRONT  # noqa: E402
+
+_WINDOW_SF01 = [n for n in _FRONT if REG[n].oracle is not None]
+
+
+@pytest.mark.parametrize("name", _WINDOW_SF01)
+def test_driver_window_matches_oracle_at_sf01(spark, name):
+    from tests.conftest import make_duck
+
+    spec = REG[name]
+    sdf = spec.builder(spark, "/root/testdata/sf0.1")
+    con = make_duck("/root/testdata/sf0.1")
+    try:
+        ddf = con.execute(spec.oracle).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
+
+
 #: Date/time-sensitive queries that round 1 proved are the
 #: session-dependence risk surface.
 _TZ_SENSITIVE = [
