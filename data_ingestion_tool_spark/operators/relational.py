@@ -2025,6 +2025,77 @@ GROUP BY l_returnflag
 """
 
 
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (totalprice ↑,
+    orderdate ↑): the points no other point beats on both axes — the
+    multi-criteria shortlist operator (best price/recency trade-offs)
+    relational engines express as an O(n²) NOT EXISTS anti-join.
+
+    Scale shape — the classic two-phase distributed skyline: the
+    skyline of a union is a subset of the union of per-partition
+    skylines, so phase 1 computes each partition's local frontier with
+    a single sorted cummax sweep over its Arrow batch (O(p log p) per
+    partition, never cross-partition), and phase 2 re-sweeps only the
+    surviving candidates — frontier-sized, typically O(log n) points
+    for non-adversarial data — on one partition. No global sort of the
+    base data, no pairwise join; a 1000× corpus changes phase 1's scan
+    only. (An anti-correlated worst case can make any skyline large —
+    that is a property of the answer, not the algorithm.)
+
+    Points are deduplicated first so strict-dominance sweeps are
+    well-defined; price is cast to double (exact for DECIMAL(15,2)
+    magnitudes) and dates to timestamp_ntz for the cross-engine
+    comparison bridge.
+    """
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("odate"),
+    ).distinct()
+
+    def _frontier(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["price", "odate"], ascending=[False, False]
+        ).reset_index(drop=True)
+        prior_max = pdf["odate"].cummax().shift(1)
+        return pdf[prior_max.isna() | (pdf["odate"] > prior_max)]
+
+    def sweep_batches(batches):
+        # per-Arrow-batch sweep: bounded state, and the union of
+        # per-batch frontiers still contains the global frontier
+        for pdf in batches:
+            if len(pdf):
+                yield _frontier(pdf)
+
+    def sweep_all(batches):
+        # final pass must see every candidate at once — a coalesced
+        # partition can still arrive as multiple Arrow batches
+        frames = [b for b in batches if len(b)]
+        if frames:
+            yield _frontier(pd.concat(frames, ignore_index=True))
+
+    schema = "price double, odate timestamp_ntz"
+    local = pts.mapInPandas(sweep_batches, schema)
+    return local.coalesce(1).mapInPandas(sweep_all, schema)
+
+
+SKYLINE_ORDERS_SQL = """
+WITH pts AS (
+  SELECT DISTINCT CAST(o_totalprice AS DOUBLE) AS price,
+         CAST(o_orderdate AS TIMESTAMP) AS odate
+  FROM orders
+)
+SELECT price, odate FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price >= p.price AND q.odate >= p.odate
+    AND (q.price > p.price OR q.odate > p.odate)
+)
+"""
+
+
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of order totals: 8
     buckets holding (near-)equal row counts, with each bucket's value
@@ -2209,6 +2280,9 @@ SPECS: list[QuerySpec] = [
               EQUI_DEPTH_HISTOGRAM_SQL,
               "equal-frequency 8-bucket histogram via ntile",
               ("agg", "profiling")),
+    QuerySpec("skyline_orders", skyline_orders, SKYLINE_ORDERS_SQL,
+              "two-phase distributed Pareto frontier (price x recency)",
+              ("relational", "ml")),
     QuerySpec("important_part_stock", important_part_stock,
               IMPORTANT_PART_STOCK_SQL,
               "TPC-H Q11 shape: share-of-global-aggregate filter",

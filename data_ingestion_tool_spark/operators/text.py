@@ -841,6 +841,195 @@ LIMIT {_HH_CAPACITY}
 """
 
 
+#: BM25 ranking constants (Robertson/Spärck Jones defaults) and a fixed
+#: conjunctive-free query so the oracle can restate it verbatim.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+_BM25_QUERY = ("join", "window", "scan")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: BM25 top-k documents for a fixed
+    bag-of-words query — the retrieval scorer behind corpus search and
+    RAG candidate generation.
+
+    Scale shape: the term filter lands IMMEDIATELY after the token
+    Generate, so the only aggregated stream is (docs containing a
+    query term) — never the |vocabulary|-sized term space. Document
+    length rides through the explode as a carried column (no
+    corpus-sized join back), the per-term document frequencies (|Q|
+    rows) and the 1-row corpus stats broadcast, and the final top-k is
+    a TakeOrderedAndProject. Growing the corpus 1000× changes only the
+    scan; every shuffled stream stays proportional to query-term hits.
+
+    idf uses the always-positive Lucene form ln(1 + (N-df+0.5)/(df+0.5)).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _tokens().alias("toks"))
+    stats = d.agg(
+        F.avg(F.size("toks")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .where(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+BM25_SEARCH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM toks
+  WHERE term IN {_BM25_QUERY!r}
+  GROUP BY 1, 2, 3
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT AVG(len(string_split_regex(trim(text), '\s+'))) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * {_BM25_K1 + 1}
+                 / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))),
+             6) AS bm25
+FROM tf JOIN df USING (term) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+#: PMI co-occurrence: vocabulary capped to the top-V corpus terms so
+#: the per-document pair fan-out is bounded by C(V, 2) no matter how
+#: long documents grow; pairs below the support floor are noise.
+_PMI_V = 32
+_PMI_MIN_PAIRS = 5
+_PMI_TOPK = 50
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair pointwise mutual information over documents — the
+    distributional-semantics signal behind phrase mining and
+    word-association features (PMI = ln(P(a,b) / P(a)P(b)) with
+    document-level probabilities).
+
+    Scale shape: the vocabulary is first capped to the top-``_PMI_V``
+    corpus terms (one vocab-sized partial+final agg, top-V leaves each
+    partition partial) and broadcast; per-document presence is then a
+    broadcast semi-filter, and the pair enumeration is a SELF-JOIN ON
+    doc_id of a stream with ≤ V rows per doc — fan-out bounded by
+    C(V,2) per document by construction, co-partitioned on doc_id.
+    All counts are exact integers, so the ln() argument is identical
+    across engines (no float accumulation before the transcendental).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(_PMI_V)
+        .select("term")
+    )
+    present = toks.distinct().join(F.broadcast(vocab), "term")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_term = present.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = present.alias("a"), present.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    na = F.broadcast(n_term.select(F.col("term").alias("term_a"),
+                                   F.col("n_t").alias("n_a")))
+    nb = F.broadcast(n_term.select(F.col("term").alias("term_b"),
+                                   F.col("n_t").alias("n_b")))
+    pmi = F.log(
+        (F.col("n_ab") * F.col("n_docs"))
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return (
+        pairs.join(na, "term_a")
+        .join(nb, "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b", "n_ab", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(_PMI_TOPK)
+    )
+
+
+COOCCURRENCE_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+    ORDER BY c DESC, term LIMIT {_PMI_V}
+  )
+),
+present AS (
+  SELECT DISTINCT doc_id, term FROM toks
+  WHERE term IN (SELECT term FROM vocab)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+nt AS (SELECT term, COUNT(*) AS n_t FROM present GROUP BY 1),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+  FROM present a JOIN present b USING (doc_id)
+  WHERE a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT term_a, term_b, n_ab,
+       ROUND(ln((n_ab * n_docs) / CAST(na.n_t * nb.n_t AS DOUBLE)), 6) AS pmi
+FROM pairs
+JOIN nt na ON na.term = pairs.term_a
+JOIN nt nb ON nb.term = pairs.term_b
+CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT {_PMI_TOPK}
+"""
+
+
 #: Boilerplate detection: an n-gram is "boilerplate" when it appears in
 #: ≥ max(2, ceil(_BOILER_DF_FRAC · n_docs)) distinct documents; a doc
 #: is dropped when more than _BOILER_KEEP_FRAC of its distinct n-grams
@@ -1590,6 +1779,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("exact_top_terms", exact_top_terms, EXACT_TOP_TERMS_SQL,
               "exact driver-checkable twin of heavy_hitter_terms",
               ("text", "agg")),
+    QuerySpec("bm25_search", bm25_search, BM25_SEARCH_SQL,
+              "BM25 top-k retrieval with query-filtered token stream",
+              ("text", "search")),
+    QuerySpec("cooccurrence_pmi", cooccurrence_pmi, COOCCURRENCE_PMI_SQL,
+              "bounded-vocabulary term-pair PMI co-occurrence",
+              ("text", "ml")),
     QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
               BOILERPLATE_SQL,
               "corpus-frequency boilerplate n-gram detection + keep flag",

@@ -602,3 +602,41 @@ def test_dedup_containment_cap_and_parity(spark, tmp_path):
     out = dedup_containment(spark, sf_dir)
     assert [(r["doc_a"], r["doc_b"]) for r in out.collect()] == [(0, 1)]
     assert compare(out, _duck_on(sf_dir, DEDUP_CONTAINMENT_SQL)) == []
+
+
+def test_skyline_frontier_is_strict_antichain(spark):
+    """Pareto-frontier invariant: sorted by price descending, dates
+    must be strictly increasing (no point dominates another)."""
+    from data_ingestion_tool_spark.operators import registry
+
+    pdf = (
+        registry()["skyline_orders"]
+        .builder(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("price", ascending=False)
+    )
+    assert len(pdf) > 0
+    assert pdf["price"].is_unique
+    assert pdf["odate"].is_monotonic_increasing and pdf["odate"].is_unique
+
+
+def test_heavy_hitter_underestimates_exact_twin(spark):
+    """Misra-Gries counts never exceed the exact twin's counts, and
+    the corpus's most frequent term always survives the sketch."""
+    from data_ingestion_tool_spark.operators import registry
+
+    reg = registry()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["term"]: r["n_count"]
+        for r in reg["exact_top_terms"].builder(spark, sf).collect()
+    }
+    est = {
+        r["term"]: r["est_count"]
+        for r in reg["heavy_hitter_terms"].builder(spark, sf).collect()
+    }
+    top_term = max(exact, key=exact.get)
+    assert top_term in est
+    for term, c in est.items():
+        if term in exact:
+            assert c <= exact[term], term

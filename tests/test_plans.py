@@ -440,6 +440,8 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "corpus_prep_pipeline",     # 1-row mixing-totals broadcast
         "unigram_logprob_scores",   # 1-row n_total broadcast
         "rolling_weekly_active_users",  # |days|-row calendar broadcast
+        "bm25_search",              # 1-row corpus-stats broadcast
+        "cooccurrence_pmi",         # 1-row n_docs broadcast
     }
     offenders = {}
     for name, spec in REG.items():
@@ -463,3 +465,38 @@ def test_media_metadata_query_never_reads_payload(spark):
     assert rep.read_schemas
     assert "text" not in rep.read_schemas[0]
     assert "payload" not in rep.read_schemas[0]
+
+
+def test_bm25_aggregates_query_hits_not_vocabulary(spark):
+    """BM25's scale claim: the shuffled/aggregated stream is
+    query-term hits (the isin filter sits directly on the token
+    Generate output), df and corpus stats broadcast, and everything
+    stays JVM-side."""
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    df = REG["bm25_search"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 0
+    assert rep.sort_merge_joins == 0
+    assert "term#" in formatted_plan(df) and " IN " in formatted_plan(df)
+
+
+def test_pmi_vocab_and_counts_broadcast(spark):
+    """PMI's pair join is bounded: vocabulary and per-term counts ride
+    as broadcasts; the only non-broadcast join is the doc_id
+    self-join whose fan-out is capped at C(V,2) per document."""
+    df = REG["cooccurrence_pmi"].builder(spark, SF_CORRECT)
+    assert_broadcast_join(df, at_least=3)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 0
+
+
+def test_skyline_is_two_pandas_sweeps_one_exchange(spark):
+    """Distributed skyline: exactly two mapInPandas stages (local
+    frontier, final frontier) and the single distinct exchange — no
+    global sort of the base data, no pairwise join."""
+    df = REG["skyline_orders"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 2
+    assert rep.exchanges == 1
+    assert rep.nested_loop_joins == 0 and rep.sort_merge_joins == 0
