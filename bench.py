@@ -62,6 +62,9 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "shared_span_pairs",
     "rolling_weekly_active_users",
+    "bm25_search",
+    "cooccurrence_pmi",
+    "skyline_orders",
 ]
 
 
