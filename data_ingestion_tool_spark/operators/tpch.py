@@ -34,7 +34,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.functions import (
@@ -583,7 +583,279 @@ GROUP BY 1, 2
 """
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the testdata schema has no partsupp
+    table, so "supply cost" is each supplier's average unit price for
+    the part derived from lineitem): for small ECONOMY parts, the
+    EUROPE supplier(s) offering the minimum cost, by account balance.
+
+    Scale shape: every dim edge (part slice, supplier⋈nation⋈region)
+    broadcasts; the fact stream aggregates once per (part, supplier),
+    and Q2's correlated MIN subquery becomes a window over partkey on
+    that already-aggregated (dims-sized) stream — one fact shuffle
+    total, no second scan, no join-back. Costs divide exact decimal
+    sums, so the min-equality filter is reproducible cross-engine."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5))
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")
+            ).alias("cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("cost", 6).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH costs AS (
+  SELECT l.l_partkey AS p_partkey, p.p_name, s.s_name, s.s_acctbal,
+         n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           AS cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+             AND p.p_type = 'ECONOMY' AND p.p_size <= 5
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM costs
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(cost, 6) AS cost
+FROM ranked WHERE cost = min_cost
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: lineitem has no shipmode/receiptdate
+    — "late" is shipdate ≥ orderdate + 90 days, grouped by
+    l_linestatus): late lines split into high- vs low-priority counts.
+
+    Scale shape: the two-year shipdate window pushes to the lineitem
+    scan (row-group pruning); the only shuffle is orders⋈lineitem on
+    orderkey, and the priority classification is a COUNT(CASE) codegen
+    aggregate on the joined stream."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            >= F.date_add("o_orderdate", 90).cast("timestamp_ntz")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l.l_linestatus,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate >= CAST(o.o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)
+GROUP BY 1
+"""
+
+
+def tpch_q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the partsupp link comes from
+    lineitem, and the "complaints" supplier exclusion is negative
+    account balance): how many distinct suppliers can source each
+    (type, size) part family, excluding flagged suppliers.
+
+    Scale shape: the part slice broadcasts; the supplier exclusion is
+    a broadcast ANTI join (never NOT IN's null-trap semantics on a
+    shuffled side); the distinct-count aggregate dedups (type, size,
+    suppkey) partial-first, so the final shuffle carries distinct
+    triples, not raw lineitem."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 3, 5, 7, 9)
+        )
+        .select("p_partkey", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (1, 3, 5, 7, 9)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def tpch_q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty — a supplier has
+    "excess stock" in a part when it shipped more than a quarter of
+    the part's total 1997 volume): suppliers dominating the supply of
+    any 'small' part, with their nations.
+
+    Scale shape: nested aggregation stays on one partkey-partitioned
+    stream (per-(part,supplier) sums re-aggregate to per-part totals
+    without a second scan); the dominance test is exact decimal
+    arithmetic (4·sup_qty > part_qty — quantities are integral, so no
+    float boundary); the surviving supplier keys are dim-sized and
+    broadcast into a LEFT SEMI join against the supplier dim."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("sup_qty"))
+    )
+    # per-part totals as a window over the already-aggregated stream:
+    # reuses the (part, supplier) reduction, no join-back re-shuffle
+    # of the fact data
+    part_qty = F.sum("sup_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        per_ps.withColumn("part_qty", part_qty)
+        .filter(F.col("sup_qty") * 4 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+TPCH_Q20_SQL = """
+WITH per_ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS sup_qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'small%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, SUM(sup_qty) AS part_qty FROM per_ps GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT per_ps.l_suppkey
+  FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE per_ps.sup_qty * 4 > per_p.part_qty
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("tpch_q2_min_cost_supplier", tpch_q2_min_cost_supplier,
+              TPCH_Q2_SQL,
+              "TPC-H Q2 shape: correlated-min supplier via window",
+              ("join", "window", "tpch")),
+    QuerySpec("tpch_q12_priority_shipping", tpch_q12_priority_shipping,
+              TPCH_Q12_SQL,
+              "TPC-H Q12 shape: late-line priority classification",
+              ("join", "agg", "tpch")),
+    QuerySpec("tpch_q16_part_supplier_variety", tpch_q16_part_supplier_variety,
+              TPCH_Q16_SQL,
+              "TPC-H Q16 shape: anti-join + distinct supplier count",
+              ("join", "agg", "tpch")),
+    QuerySpec("tpch_q20_dominant_part_suppliers",
+              tpch_q20_dominant_part_suppliers, TPCH_Q20_SQL,
+              "TPC-H Q20 shape: nested agg dominance semi-join",
+              ("join", "agg", "tpch")),
     QuerySpec("tpch_q9_profit_shape", tpch_q9_profit_shape, TPCH_Q9_SQL,
               "TPC-H Q9 shape: two-fact profit agg with cost proxy",
               ("join", "agg", "tpch")),

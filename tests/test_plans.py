@@ -500,3 +500,36 @@ def test_skyline_is_two_pandas_sweeps_one_exchange(spark):
     assert rep.map_in_pandas == 2
     assert rep.exchanges == 1
     assert rep.nested_loop_joins == 0 and rep.sort_merge_joins == 0
+
+
+def test_tpch_q2_correlated_min_is_window_on_aggregated_stream(spark):
+    """Q2's correlated MIN subquery must plan as a window over the
+    per-(part,supplier) aggregate — all dims broadcast, no fact
+    join-back, two exchanges total (agg + window)."""
+    rep = plan_report(REG["tpch_q2_min_cost_supplier"].builder(spark, SF_CORRECT))
+    assert rep.broadcast_hash_joins >= 3
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges == 2
+
+
+def test_tpch_q16_exclusion_is_anti_join_not_shuffle(spark):
+    """Q16's supplier exclusion must be a broadcast anti join; the
+    distinct count dedups partial-first."""
+    rep = plan_report(
+        REG["tpch_q16_part_supplier_variety"].builder(spark, SF_CORRECT)
+    )
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 2
+
+
+def test_tpch_q20_nested_agg_reuses_partition(spark):
+    """Q20's per-part totals ride a window over the per-(part,supplier)
+    aggregate — never a join-back re-shuffle of fact data."""
+    rep = plan_report(
+        REG["tpch_q20_dominant_part_suppliers"].builder(spark, SF_CORRECT)
+    )
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 3
