@@ -45,7 +45,9 @@ _MODULES = [
 #: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, pin the
 #: two deferred entries (window_rank_extras, agg_string_concat — their
 #: window/agg families are already driver-green from r01) plus every
-#: oracle-paired query added in round 3.
+#: oracle-paired query added in round 3: exact_user_reach,
+#: exact_top_terms, label_centroid_norms, bm25_search,
+#: cooccurrence_pmi, skyline_orders, and tpch_q2/q12/q16/q20.
 _FRONT = [
     # composed flagships (round-2 additions, never driver-checked)
     "corpus_prep_pipeline",
