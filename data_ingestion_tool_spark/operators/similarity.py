@@ -720,6 +720,45 @@ FROM m GROUP BY label, n
 """
 
 
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (count/mean/std/min/max) — the
+    fit step of feature normalization (standard scaling) and the drift
+    monitor for embedding pipelines.
+
+    Scale shape: ``posexplode`` stays JVM-side (Generate), and the
+    aggregate keys on dim alone, so partial aggregation collapses each
+    partition to d rows before the shuffle — the exchange carries
+    d·partitions rows and the result is d rows no matter the corpus
+    size. Moment aggregates (avg/stddev_pop) merge associatively;
+    ROUND(…,6) absorbs float association noise cross-engine."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        F.posexplode(_as_double("embedding")).alias("dim", "val")
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_pop("val"), 6).alias("std"),
+        F.round(F.min("val"), 6).alias("lo"),
+        F.round(F.max("val"), 6).alias("hi"),
+    )
+
+
+EMBEDDING_DIMENSION_STATS_SQL = """
+WITH el AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT dim, COUNT(*) AS n,
+       ROUND(AVG(val), 6) AS mean,
+       ROUND(STDDEV_POP(val), 6) AS std,
+       ROUND(MIN(val), 6) AS lo,
+       ROUND(MAX(val), 6) AS hi
+FROM el GROUP BY dim
+"""
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 8
 
@@ -1195,6 +1234,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("label_centroid_norms", label_centroid_distances,
               LABEL_CENTROID_NORMS_SQL,
               "per-label centroid aggregation", ("similarity",)),
+    QuerySpec("embedding_dimension_stats", embedding_dimension_stats,
+              EMBEDDING_DIMENSION_STATS_SQL,
+              "per-dimension normalization stats via posexplode agg",
+              ("similarity", "profiling")),
     QuerySpec("label_top_eigenvalue", label_top_eigenvalue, None,
               "per-label top eigenvalue via bounded moment aggregation",
               ("similarity",)),

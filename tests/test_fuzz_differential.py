@@ -1,0 +1,174 @@
+"""Differential query fuzzing: hypothesis draws random filter/agg and
+window-top-k specs, each spec is compiled BOTH to a DataFrame plan and
+to ANSI SQL, and Spark must match DuckDB exactly — the property-based
+complement to the fixed oracle registry (any expression-compilation or
+null/decimal/date-semantics divergence in the agg and window paths
+shows up here without hand-writing a query per case).
+
+Fuzzed on sf0.001 to keep each example sub-second; the fixed registry
+covers the big scales.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_ingestion_tool_spark.functions import dec
+from data_ingestion_tool_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE, make_duck
+from tests.parity import compare
+
+#: (name, spark Column factory, SQL expression) — decimal-cast sums per
+#: the repo convention so value hashes are order-independent.
+_AGGS = {
+    "n_rows": (
+        lambda: F.count(F.lit(1)).alias("n_rows"),
+        "COUNT(*) AS n_rows",
+    ),
+    "sum_qty": (
+        lambda: F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty",
+    ),
+    "min_price": (
+        lambda: F.min("l_extendedprice").alias("min_price"),
+        "MIN(l_extendedprice) AS min_price",
+    ),
+    "max_price": (
+        lambda: F.max("l_extendedprice").alias("max_price"),
+        "MAX(l_extendedprice) AS max_price",
+    ),
+    "n_orders": (
+        lambda: F.countDistinct("l_orderkey").alias("n_orders"),
+        "COUNT(DISTINCT l_orderkey) AS n_orders",
+    ),
+}
+
+_GROUP_COLS = ["l_returnflag", "l_linestatus"]
+
+_FLAGS = ["A", "N", "R"]
+_DATES = ["1996-01-01", "1997-06-01", "1999-01-01"]
+
+
+@st.composite
+def agg_specs(draw):
+    group_cols = draw(
+        st.lists(st.sampled_from(_GROUP_COLS), unique=True, max_size=2)
+    )
+    aggs = draw(
+        st.lists(
+            st.sampled_from(sorted(_AGGS)), unique=True, min_size=1, max_size=3
+        )
+    )
+    filters = []
+    if draw(st.booleans()):
+        q = draw(st.integers(min_value=1, max_value=50))
+        filters.append(("qty_le", q))
+    if draw(st.booleans()):
+        filters.append(("ship_lt", draw(st.sampled_from(_DATES))))
+    if draw(st.booleans()):
+        filters.append(("flag_eq", draw(st.sampled_from(_FLAGS))))
+    return {"group": group_cols, "aggs": aggs, "filters": filters}
+
+
+def _spark_filter(df, filters):
+    for kind, v in filters:
+        if kind == "qty_le":
+            df = df.filter(F.col("l_quantity") <= v)
+        elif kind == "ship_lt":
+            df = df.filter(
+                F.col("l_shipdate") < F.lit(v).cast("timestamp_ntz")
+            )
+        elif kind == "flag_eq":
+            df = df.filter(F.col("l_returnflag") == v)
+    return df
+
+
+def _sql_where(filters) -> str:
+    preds = []
+    for kind, v in filters:
+        if kind == "qty_le":
+            preds.append(f"l_quantity <= {v}")
+        elif kind == "ship_lt":
+            preds.append(f"l_shipdate < TIMESTAMP '{v}'")
+        elif kind == "flag_eq":
+            preds.append(f"l_returnflag = '{v}'")
+    return (" WHERE " + " AND ".join(preds)) if preds else ""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=agg_specs())
+def test_fuzzed_filter_agg_matches_duckdb(spark, spec):
+    li = _spark_filter(load_table(spark, SF_SMOKE, "lineitem"), spec["filters"])
+    cols = [_AGGS[a][0]() for a in spec["aggs"]]
+    if spec["group"]:
+        sdf = li.groupBy(*spec["group"]).agg(*cols)
+    else:
+        sdf = li.agg(*cols)
+    select = ", ".join(
+        spec["group"] + [_AGGS[a][1] for a in spec["aggs"]]
+    )
+    sql = f"SELECT {select} FROM lineitem{_sql_where(spec['filters'])}"
+    if spec["group"]:
+        sql += " GROUP BY " + ", ".join(spec["group"])
+    con = make_duck(SF_SMOKE)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
+
+
+@st.composite
+def topk_specs(draw):
+    return {
+        "part": draw(st.sampled_from(["o_orderstatus", "o_orderpriority"])),
+        "k": draw(st.integers(min_value=1, max_value=5)),
+        "desc": draw(st.booleans()),
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=topk_specs())
+def test_fuzzed_window_topk_matches_duckdb(spark, spec):
+    """Per-group top-k with a deterministic total tie-break: the
+    window path (rank + filter) fuzz-checked against DuckDB."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    order = (
+        [F.desc("o_totalprice"), F.asc("o_orderkey")]
+        if spec["desc"]
+        else [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    )
+    w = Window.partitionBy(spec["part"]).orderBy(*order)
+    sdf = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= spec["k"])
+        .select(spec["part"], "o_orderkey", "o_totalprice", "rn")
+    )
+    direction = "DESC" if spec["desc"] else "ASC"
+    sql = f"""
+    SELECT {spec['part']}, o_orderkey, o_totalprice, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY {spec['part']}
+        ORDER BY o_totalprice {direction}, o_orderkey
+      ) AS rn FROM orders
+    ) WHERE rn <= {spec['k']}
+    """
+    con = make_duck(SF_SMOKE)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
