@@ -65,6 +65,7 @@ HEADLINE = [
     "bm25_search",
     "cooccurrence_pmi",
     "skyline_orders",
+    "bpe_fit_merges",
 ]
 
 

@@ -1742,7 +1742,141 @@ GROUP BY tf.source
 """
 
 
+#: BPE trainer size: merges learned, and the regex-safe symbol guard.
+_BPE_MERGES = 12
+
+
+def bpe_fit_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed byte-pair-encoding tokenizer training (Sennrich et
+    al. 2016): learn the top-``_BPE_MERGES`` merge rules from the
+    corpus — the fit step of every subword tokenizer pipeline.
+
+    Scale shape (mirrors real BPE trainers): the corpus is scanned
+    ONCE into a (word, freq) vocabulary table — all iterations then
+    run against that bounded table, never the corpus. Each iteration
+    is (a) one JVM explode+hash-agg for weighted adjacent-pair counts,
+    (b) a 1-row argmax to the driver (the merge rule — KBs of driver
+    state total, like kmeans' centroids), (c) one codegen
+    ``regexp_replace`` applying the merge left-to-right (exactly BPE's
+    greedy order), with ``localCheckpoint`` each iteration so lineage
+    stays O(1) deep instead of O(iterations).
+
+    Deterministic (ties broken lexicographically) and differential-
+    tested against a pure-Python reference BPE on a planted corpus;
+    non-SQL-expressible (iterative) → rows-only driver check.
+
+    Returns the learned merge table (rank, left, right, pair_count).
+    """
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w").rlike(r"^[a-z0-9]+$"))  # regex-safe symbols
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # words as space-separated symbol sequences: "the" -> "t h e"
+        .select(
+            F.regexp_replace(F.col("w"), r"(.)", r"$1 ")
+            .alias("sym"),
+            "freq",
+        )
+        .select(F.trim("sym").alias("sym"), "freq")
+        # the vocab table is orders of magnitude smaller than the
+        # corpus (distinct words); re-partition it to a bounded width
+        # so the 2·n_merges iteration jobs don't pay full-shuffle-width
+        # task overhead per pass
+        .repartition(4)
+        .localCheckpoint()
+    )
+
+    merges = []
+    for rank in range(_BPE_MERGES):
+        pairs = vocab.select(
+            "freq", F.split("sym", " ").alias("s")
+        ).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, F.greatest(F.size("s") - 1, F.lit(0))),
+                    F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        left, right = pair.split(" ")
+        merges.append((rank, left, right, cnt))
+        # apply the merge: replace "left right" tokens bounded by
+        # start/space — regexp_replace scans left-to-right without
+        # overlap, which IS BPE's greedy application order
+        vocab = vocab.select(
+            F.regexp_replace(
+                F.col("sym"),
+                rf"(?<=^| ){left} {right}(?= |$)",
+                left + right,
+            ).alias("sym"),
+            "freq",
+            # eager=False folds checkpoint materialization into the
+            # next iteration's pair-count job: one job per merge
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_reference(words: dict[str, int], n_merges: int) -> list[tuple]:
+    """Pure-Python reference BPE (the differential oracle for
+    :func:`bpe_fit_merges`): identical greedy merge + lexicographic
+    tie-break, driven from a word-frequency dict."""
+    vocab = {" ".join(w): f for w, f in words.items()}
+    out = []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            parts = sym.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        out.append((rank, left, right, cnt))
+
+        def merge_seq(sym: str) -> str:
+            parts = sym.split(" ")
+            res, i = [], 0
+            while i < len(parts):
+                if (
+                    i + 1 < len(parts)
+                    and parts[i] == left
+                    and parts[i + 1] == right
+                ):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(parts[i])
+                    i += 1
+            return " ".join(res)
+
+        vocab = {merge_seq(s): f for s, f in vocab.items()}
+    return out
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("bpe_fit_merges", bpe_fit_merges, None,
+              "distributed BPE tokenizer training on the vocab table",
+              ("text", "llm", "ml")),
     QuerySpec("source_token_entropy", source_token_entropy,
               SOURCE_TOKEN_ENTROPY_SQL,
               "per-source Shannon token entropy (boilerplate detector)",

@@ -640,3 +640,39 @@ def test_heavy_hitter_underestimates_exact_twin(spark):
     for term, c in est.items():
         if term in exact:
             assert c <= exact[term], term
+
+
+def test_bpe_fit_matches_pure_python_reference(spark, tmp_path):
+    """Distributed BPE training vs the pure-Python reference trainer:
+    identical merge table (rule order, symbols, weighted counts) on a
+    planted corpus with deliberate ties and repeated subwords."""
+    from data_ingestion_tool_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_fit_merges,
+        bpe_reference,
+    )
+
+    words = {
+        "lower": 5, "lowest": 3, "newer": 6, "wider": 2,
+        "new": 4, "low": 7, "er": 1, "banana": 3,
+    }
+    corpus = []
+    for i, (w, f) in enumerate(sorted(words.items())):
+        corpus.append((i, " ".join([w] * f)))
+    sf_dir = _write_docs(spark, tmp_path, corpus)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_fit_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    want = bpe_reference(words, _BPE_MERGES)
+    assert got == want
+    assert len(got) >= 5  # the planted corpus supports real merges
+
+
+def test_bpe_fit_runs_and_is_deterministic_on_testdata(spark):
+    from data_ingestion_tool_spark.operators.text import bpe_fit_merges
+
+    a = bpe_fit_merges(spark, "/root/testdata/sf0.001").collect()
+    b = bpe_fit_merges(spark, "/root/testdata/sf0.001").collect()
+    assert a == b and len(a) > 0
