@@ -1873,10 +1873,85 @@ def bpe_reference(words: dict[str, int], n_merges: int) -> list[tuple]:
     return out
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus and report per-doc
+    subword counts + compression vs whitespace tokens — the fit→apply
+    pair of a tokenizer pipeline.
+
+    Scale shape — word-level memoization, exactly how production
+    tokenizers amortize: merges apply to the DISTINCT-WORD table (each
+    unique word tokenized once, 12 codegen regexp passes over the
+    small vocab), and the resulting word→n_subwords map rides a
+    BROADCAST join back onto the token stream — the corpus itself is
+    never char-split or regexp-scanned. A 1000× corpus re-tokenizes
+    the same vocab table and only grows the broadcast-joined stream.
+
+    Rows-only driver check (depends on the learned merge sequence);
+    differential-tested against the pure-Python reference apply."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_fit_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .where(F.col("w").rlike(r"^[a-z0-9]+$"))
+        .distinct()
+        .repartition(4)
+    )
+    sym = F.trim(F.regexp_replace(F.col("w"), r"(.)", r"$1 "))
+    for left, right in merges:
+        sym = F.regexp_replace(
+            sym, rf"(?<=^| ){left} {right}(?= |$)", left + right
+        )
+    word_len = words.select(
+        "w", F.size(F.split(sym, " ")).alias("n_subwords")
+    )
+    toks = d.select("doc_id", F.explode(_tokens()).alias("w")).where(
+        F.col("w").rlike(r"^[a-z0-9]+$")
+    )
+    return (
+        toks.join(F.broadcast(word_len), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("subwords_per_word"),
+        )
+    )
+
+
+def bpe_apply_reference(word: str, merges: list[tuple]) -> list[str]:
+    """Pure-Python reference apply (greedy, in learned merge order) —
+    the differential oracle for :func:`bpe_token_counts`."""
+    parts = list(word)
+    for left, right in merges:
+        res, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == left and parts[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(parts[i])
+                i += 1
+        parts = res
+    return parts
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("bpe_fit_merges", bpe_fit_merges, None,
               "distributed BPE tokenizer training on the vocab table",
               ("text", "llm", "ml")),
+    QuerySpec("bpe_token_counts", bpe_token_counts, None,
+              "BPE apply via word-memoized broadcast tokenization",
+              ("text", "llm")),
     QuerySpec("source_token_entropy", source_token_entropy,
               SOURCE_TOKEN_ENTROPY_SQL,
               "per-source Shannon token entropy (boilerplate detector)",

@@ -676,3 +676,41 @@ def test_bpe_fit_runs_and_is_deterministic_on_testdata(spark):
     a = bpe_fit_merges(spark, "/root/testdata/sf0.001").collect()
     b = bpe_fit_merges(spark, "/root/testdata/sf0.001").collect()
     assert a == b and len(a) > 0
+
+
+def test_bpe_apply_matches_reference_tokenization(spark, tmp_path):
+    """bpe_token_counts' per-doc subword totals equal re-tokenizing
+    every word with the pure-Python reference apply."""
+    from data_ingestion_tool_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_fit_merges,
+        bpe_apply_reference,
+        bpe_reference,
+        bpe_token_counts,
+    )
+
+    words = {
+        "lower": 5, "lowest": 3, "newer": 6, "wider": 2,
+        "new": 4, "low": 7, "banana": 3, "bandana": 2,
+    }
+    rows = []
+    for i, (w, f) in enumerate(sorted(words.items())):
+        rows.append((i, " ".join([w] * f)))
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    merges = [
+        (m[1], m[2]) for m in bpe_reference(words, _BPE_MERGES)
+    ]
+    spark_merges = [
+        (r["left"], r["right"])
+        for r in bpe_fit_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert spark_merges == merges
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(spark, sf_dir).collect()
+    }
+    for i, (w, f) in enumerate(sorted(words.items())):
+        n_sub = len(bpe_apply_reference(w, merges))
+        assert got[i] == (f, f * n_sub), (w, got[i], n_sub)
