@@ -1885,6 +1885,9 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST join back onto the token stream — the corpus itself is
     never char-split or regexp-scanned. A 1000× corpus re-tokenizes
     the same vocab table and only grows the broadcast-joined stream.
+    (If the distinct-word table ever outgrows broadcast size — ~100M+
+    words — drop the hint and the same plan becomes a word-keyed
+    shuffle join; the memoization structure is unchanged.)
 
     Rows-only driver check (depends on the learned merge sequence);
     differential-tested against the pure-Python reference apply."""

@@ -172,3 +172,64 @@ def test_fuzzed_window_topk_matches_duckdb(spark, spec):
         con.close()
     problems = compare(sdf, ddf)
     assert not problems, f"{spec}: " + "; ".join(problems)
+
+
+@st.composite
+def join_specs(draw):
+    return {
+        "how": draw(st.sampled_from(["inner", "left", "right"])),
+        "group": draw(
+            st.sampled_from(["o_orderstatus", "l_returnflag"])
+        ),
+        "qty_le": draw(st.integers(min_value=0, max_value=50))
+        if draw(st.booleans())
+        else None,
+        "status_eq": draw(st.sampled_from(["F", "O", "P"]))
+        if draw(st.booleans())
+        else None,
+    }
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_specs())
+def test_fuzzed_join_agg_matches_duckdb(spark, spec):
+    """Random orders⋈lineitem join type + side filters + grouped
+    count: outer-join null semantics fuzz-checked against DuckDB."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o_pred = l_pred = ""
+    if spec["status_eq"] is not None:
+        o = o.filter(F.col("o_orderstatus") == spec["status_eq"])
+        o_pred = f" WHERE o_orderstatus = '{spec['status_eq']}'"
+    if spec["qty_le"] is not None:
+        li = li.filter(F.col("l_quantity") <= spec["qty_le"])
+        l_pred = f" WHERE l_quantity <= {spec['qty_le']}"
+    joined = o.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), spec["how"]
+    )
+    sdf = joined.groupBy(spec["group"]).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("n_lines"),
+        F.count("o_orderkey").alias("n_order_side"),
+    )
+    how_sql = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN"}
+    sql = f"""
+    SELECT {spec['group']}, COUNT(*) AS n_rows,
+           COUNT(l_orderkey) AS n_lines,
+           COUNT(o_orderkey) AS n_order_side
+    FROM (SELECT * FROM orders{o_pred}) o
+    {how_sql[spec['how']]} (SELECT * FROM lineitem{l_pred}) l
+      ON o.o_orderkey = l.l_orderkey
+    GROUP BY {spec['group']}
+    """
+    con = make_duck(SF_SMOKE)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
