@@ -946,12 +946,16 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the vocabulary is first capped to the top-``_PMI_V``
     corpus terms (one vocab-sized partial+final agg, top-V leaves each
-    partition partial) and broadcast; per-document presence is then a
-    broadcast semi-filter, and the pair enumeration is a SELF-JOIN ON
-    doc_id of a stream with ≤ V rows per doc — fan-out bounded by
-    C(V,2) per document by construction, co-partitioned on doc_id.
-    All counts are exact integers, so the ln() argument is identical
-    across engines (no float accumulation before the transcendental).
+    partition partial) and collapsed to a single broadcast ARRAY; each
+    document's present-vocab set is then computed entirely NARROW-side
+    (``array_distinct`` on the token array + ``array_intersect`` with
+    the broadcast vocab — no corpus-wide distinct shuffle, no doc_id
+    shuffle at all), and pairs expand narrowly from the sorted ≤ V
+    array (fan-out ≤ C(V,2) per doc, the span-dedup discipline). The
+    only exchanges after the vocab agg are two tiny-key aggregates
+    (≤ C(V,2) and ≤ V groups). All counts are exact integers, so the
+    ln() argument is identical across engines (no float accumulation
+    before the transcendental).
     """
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
@@ -962,15 +966,34 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_V)
         .select("term")
     )
-    present = toks.distinct().join(F.broadcast(vocab), "term")
+    vocab_arr = vocab.agg(F.collect_list("term").alias("varr"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_term = present.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
-    a, b = present.alias("a"), present.alias("b")
+    doc_terms = (
+        d.select("doc_id", F.array_distinct(_tokens()).alias("ts0"))
+        .crossJoin(F.broadcast(vocab_arr))
+        .select(
+            "doc_id",
+            F.sort_array(F.array_intersect("ts0", "varr")).alias("ts"),
+        )
+    )
+    n_term = (
+        doc_terms.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a.term") < F.col("b.term"))
+        doc_terms.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), "
+                    "y -> named_struct('term_a', x, 'term_b', y))))"
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+            F.col("p.term_a").alias("term_a"),
+            F.col("p.term_b").alias("term_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= _PMI_MIN_PAIRS)

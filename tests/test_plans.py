@@ -481,14 +481,16 @@ def test_bm25_aggregates_query_hits_not_vocabulary(spark):
     assert "term#" in formatted_plan(df) and " IN " in formatted_plan(df)
 
 
-def test_pmi_vocab_and_counts_broadcast(spark):
-    """PMI's pair join is bounded: vocabulary and per-term counts ride
-    as broadcasts; the only non-broadcast join is the doc_id
-    self-join whose fan-out is capped at C(V,2) per document."""
+def test_pmi_is_narrow_presence_plus_tiny_aggs(spark):
+    """PMI's presence sets are built narrow-side (array_intersect with
+    the broadcast vocab array — no corpus distinct, no doc_id
+    shuffle): no sort-merge join anywhere, per-term counts ride
+    broadcasts, everything JVM-side."""
     df = REG["cooccurrence_pmi"].builder(spark, SF_CORRECT)
-    assert_broadcast_join(df, at_least=3)
+    assert_broadcast_join(df, at_least=2)
     rep = plan_report(df)
     assert rep.map_in_pandas == 0
+    assert rep.sort_merge_joins == 0
 
 
 def test_skyline_is_two_pandas_sweeps_one_exchange(spark):
