@@ -123,6 +123,11 @@ _TZ_SENSITIVE = [
         "user_retention_cohorts",
         "tpch_q10_returned_items",
         "events_gap_fill",
+        # round-3 date/time-touching additions
+        "skyline_orders",
+        "exact_user_reach",
+        "tpch_q12_priority_shipping",
+        "user_activity_similarity",
     )
     if REG[n].oracle is not None
 ]
