@@ -495,6 +495,51 @@ GROUP BY 1
 """
 
 
+#: Feature-space near-dup threshold: the stub featurizer maps equal
+#: payloads to identical unit vectors and distinct payloads to
+#: independent gaussians (cosine ~N(0, 1/√d)), so the bar can sit
+#: high; a real model's threshold would be tuned on labeled pairs.
+_MEDIA_NEAR_DUP_COSINE = 0.98
+
+
+def media_near_dup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection for media: payload →
+    feature embedding (the Arrow-batched featurizer stage — a
+    deterministic stub here, a model forward pass in production) →
+    exact cosine pairs via the SAME grid-blocked BLAS kernel as the
+    embedding and activity-profile near-dups
+    (:func:`~data_ingestion_tool_spark.operators.similarity.blocked_cosine_pairs`).
+
+    This is the second pass of a multimodal dedup pipeline:
+    :func:`media_dedup_exact` removes byte-identical copies without
+    decoding; THIS operator catches re-encoded/resized variants that
+    hash differently but embed nearby. Feature bytes never shuffle
+    raw payloads — the featurizer projects each payload to d floats
+    map-side, and only (id, vector) rows enter the pair search.
+
+    media ids here are numeric doc ids; at scale an opaque string id
+    takes an ``xxhash64`` surrogate for the kernel's block arithmetic.
+    Rows-only driver check (the stub featurizer is not
+    SQL-expressible); planted-duplicate pytest."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    media = media_table_from_documents(spark, sf_dir)
+    feats = extract_features(media).select(
+        F.col("media_id").cast("long").alias("mid"), "embedding"
+    )
+    pairs = blocked_cosine_pairs(
+        feats,
+        id_col="mid",
+        vec_col="embedding",
+        threshold=_MEDIA_NEAR_DUP_COSINE,
+    )
+    return pairs.select(
+        F.col("id_a").alias("media_a"), F.col("id_b").alias("media_b")
+    )
+
+
 def _specs():
     from data_ingestion_tool_spark.operators.base import QuerySpec
 
@@ -527,6 +572,9 @@ def _specs():
                   MEDIA_FRAME_SAMPLE_SQL,
                   "video payload → fixed-interval frame grid",
                   ("multimodal",)),
+        QuerySpec("media_near_dup_features", media_near_dup_features, None,
+                  "feature-space media near-dup via the blocked kernel",
+                  ("multimodal", "dedup", "similarity")),
     ]
 
 

@@ -70,3 +70,47 @@ def test_sample_frames_timing(spark, tmp_path):
     for r in frames:
         per.setdefault(r["media_id"], []).append(r["ts_ms"])
     assert all(sorted(v) == [0, 1000, 2000] for v in per.values())
+
+
+def test_media_near_dup_features_finds_planted_duplicates(spark, tmp_path):
+    """Duplicate payloads embed to identical vectors → must pair;
+    distinct payloads (independent gaussian features) must not."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        extract_features,
+    )
+    from data_ingestion_tool_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    rows = [
+        (0, b"payload-alpha" * 10),
+        (1, b"payload-beta" * 10),
+        (2, b"payload-alpha" * 10),   # dup of 0
+        (3, b"payload-gamma" * 10),
+        (4, b"payload-beta" * 10),    # dup of 1
+    ]
+    media = spark.createDataFrame(
+        [(str(i), p) for i, p in rows], "media_id string, payload binary"
+    )
+    feats = extract_features(media).select(
+        F.col("media_id").cast("long").alias("mid"), "embedding"
+    )
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(
+            feats, id_col="mid", vec_col="embedding", threshold=0.98
+        ).collect()
+    )
+    assert pairs == [(0, 2), (1, 4)]
+
+
+def test_media_near_dup_features_runs_on_testdata(spark):
+    from data_ingestion_tool_spark.operators.multimodal import (
+        media_near_dup_features,
+    )
+
+    df = media_near_dup_features(spark, "/root/testdata/sf0.01")
+    assert set(df.columns) == {"media_a", "media_b"}
+    assert df.count() >= 0
