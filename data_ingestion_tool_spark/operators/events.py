@@ -525,6 +525,59 @@ def sketch_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value — the irregular-
+    series integral (each reading holds until the next one), the
+    correct mean for sensor/pricing streams where plain AVG
+    over-weights bursts of readings.
+
+    Scale shape: one user_id window (lead for the holding duration —
+    the single shuffle), then a plain hash-agg; ties at identical
+    timestamps get zero duration and a deterministic (ts, event_id)
+    order, so the result is reproducible cross-engine. Users with one
+    event have no holding interval and are excluded (mirrored in the
+    oracle)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id", "value", "ts", "event_id", us.alias("t_us")
+    ).withColumn("next_us", F.lead("t_us").over(w))
+    dur = (F.col("next_us") - F.col("t_us")).cast("double")
+    return (
+        stepped.where(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * dur) / F.sum(dur), 6
+            ).alias("tw_avg_value"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+TIME_WEIGHTED_AVG_VALUE_SQL = """
+WITH stepped AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS t_us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_us
+  FROM events
+)
+SELECT user_id,
+       ROUND(SUM(value * CAST(next_us - t_us AS DOUBLE))
+             / SUM(CAST(next_us - t_us AS DOUBLE)), 6) AS tw_avg_value,
+       COUNT(*) AS n_intervals
+FROM stepped WHERE next_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def exact_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT twin of :func:`sketch_user_reach`: per-event-type active
     days + exact distinct users. The sketch op's estimates are
@@ -659,6 +712,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("exact_user_reach", exact_user_reach, EXACT_USER_REACH_SQL,
               "exact driver-checkable twin of sketch_user_reach",
               ("events", "agg")),
+    QuerySpec("time_weighted_avg_value", time_weighted_avg_value,
+              TIME_WEIGHTED_AVG_VALUE_SQL,
+              "per-user time-weighted mean (irregular-series integral)",
+              ("events", "window", "timeseries")),
     QuerySpec("event_value_anomalies", event_value_anomalies,
               EVENT_VALUE_ANOMALIES_SQL,
               "rolling z-score anomaly detection per user",
