@@ -841,6 +841,84 @@ LIMIT {_HH_CAPACITY}
 """
 
 
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary Jaccard — the source-similarity matrix a
+    corpus curator reads before setting mixing weights (two sources
+    with near-identical vocabularies are candidates for dedup or
+    down-weighting; disjoint ones add diversity).
+
+    Scale shape: (term, source) pairs dedup NARROW-side first
+    (``array_distinct`` per doc), one term-keyed agg collects each
+    term's ≤ |sources| sorted source list, pairs expand narrowly from
+    that list (fan-out ≤ C(|sources|,2) per term — the capped-postings
+    discipline), and per-source set sizes ride a broadcast back onto
+    the |sources|²-row result. Exact integer counts → the Jaccard
+    divides exactly the same on both engines."""
+    d = _docs(spark, sf_dir)
+    st = d.select(
+        "source", F.explode(F.array_distinct(_tokens())).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    term_sources = st.groupBy("term").agg(
+        F.sort_array(F.collect_list("source")).alias("ss")
+    )
+    pairs = (
+        term_sources.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> named_struct('source_a', x, 'source_b', y))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                  F.col("n").alias("n_a")))
+    nb = F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                  F.col("n").alias("n_b")))
+    return (
+        pairs.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ROUND(n_shared / CAST(na.n + nb.n - n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM pairs
+JOIN sizes na ON na.source = pairs.source_a
+JOIN sizes nb ON nb.source = pairs.source_b
+"""
+
+
 #: BM25 ranking constants (Robertson/Spärck Jones defaults) and a fixed
 #: conjunctive-free query so the oracle can restate it verbatim.
 _BM25_K1 = 1.2
@@ -2020,6 +2098,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("cooccurrence_pmi", cooccurrence_pmi, COOCCURRENCE_PMI_SQL,
               "bounded-vocabulary term-pair PMI co-occurrence",
               ("text", "ml")),
+    QuerySpec("source_vocab_overlap", source_vocab_overlap,
+              SOURCE_VOCAB_OVERLAP_SQL,
+              "source-pair vocabulary Jaccard (mixing-decision matrix)",
+              ("text", "profiling")),
     QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
               BOILERPLATE_SQL,
               "corpus-frequency boilerplate n-gram detection + keep flag",
