@@ -578,6 +578,55 @@ GROUP BY user_id
 """
 
 
+_SEQ_TOPK = 20
+
+
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, PrefixSpan-lite: the most frequent
+    length-3 event-type sequences across user streams — the behavioral
+    n-gram extension of :func:`event_transition_matrix`'s bigram
+    Markov matrix (recommendation / funnel-design signal).
+
+    Scale shape: ONE user_id window produces both lookahead columns
+    (two leads share the same sort+shuffle), the trigram aggregate has
+    at most |event_types|³ groups (partial map-side), and top-k leaves
+    each partition partial (TakeOrderedAndProject). Deterministic
+    (ts, event_id) intra-user order and a full lexicographic tie-break
+    keep the limit boundary stable cross-engine."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(_SEQ_TOPK)
+    )
+
+
+FREQUENT_EVENT_SEQUENCES_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n_occurrences
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_occurrences DESC, e1, e2, e3
+LIMIT {_SEQ_TOPK}
+"""
+
+
 def exact_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT twin of :func:`sketch_user_reach`: per-event-type active
     days + exact distinct users. The sketch op's estimates are
@@ -716,6 +765,10 @@ SPECS: list[QuerySpec] = [
               TIME_WEIGHTED_AVG_VALUE_SQL,
               "per-user time-weighted mean (irregular-series integral)",
               ("events", "window", "timeseries")),
+    QuerySpec("frequent_event_sequences", frequent_event_sequences,
+              FREQUENT_EVENT_SEQUENCES_SQL,
+              "top-k length-3 event sequences (PrefixSpan-lite)",
+              ("events", "window", "ml")),
     QuerySpec("event_value_anomalies", event_value_anomalies,
               EVENT_VALUE_ANOMALIES_SQL,
               "rolling z-score anomaly detection per user",
