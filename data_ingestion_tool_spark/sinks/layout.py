@@ -318,3 +318,60 @@ def write_training_shards(
         os.path.join(path, "manifest")
     )
     return spark.read.parquet(os.path.join(path, "manifest"))
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Targeted row deletion (GDPR / right-to-be-forgotten) over a
+    plain parquet directory: ONE predicate-pushed scan identifies the
+    files that actually contain matching rows (parquet footer min/max
+    statistics prune the rest before any bytes are read), ONLY those
+    files are rewritten with the surviving rows, and replacements are
+    staged to a sibling temp dir before the swap. Untouched files are
+    never rewritten and stay byte-identical — with a sorted/z-ordered
+    or partitioned layout at 100 TB, deleting one user touches a
+    handful of files, not the table. (Delta/Iceberg wrap the same
+    file-level rewrite in a transaction log; the rewrite discipline
+    is identical, the atomicity is per-file here.)
+
+    Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
+    """
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.parquet(path)
+    matched = df.where(predicate)
+    hit_uris = sorted(
+        r[0]
+        for r in matched.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    )
+    files_total = len(
+        [n for n in os.listdir(path) if n.endswith(".parquet")]
+    )
+    if not hit_uris:
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+        }
+    hit_paths = [unquote(urlparse(u).path) for u in hit_uris]
+    rows_deleted = matched.count()
+    keep = spark.read.parquet(*hit_paths).where(f"NOT ({predicate})")
+    tmp = path.rstrip("/") + "__delete_tmp"
+    keep.write.mode("overwrite").parquet(tmp)
+    # swap: replacements are fully written and closed before any old
+    # file disappears; Spark's part-file names are UUID-unique, so the
+    # moved files cannot collide with survivors.
+    for p in hit_paths:
+        os.remove(p)
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(tmp, name), os.path.join(path, name))
+    import shutil
+
+    shutil.rmtree(tmp)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(hit_paths),
+        "rows_deleted": rows_deleted,
+    }

@@ -179,3 +179,64 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
         for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()
     }
     assert per_shard == {r["shard"]: r["n_rows"] for r in m1}
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """Targeted delete: with a range-clustered layout, a narrow key
+    predicate rewrites only the files whose stats contain matches;
+    every other file stays byte-identical, and the surviving rows are
+    exactly original minus matches."""
+    from data_ingestion_tool_spark.sinks.layout import delete_where
+
+    path = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(path)
+
+    before = {
+        n: (os.path.getsize(os.path.join(path, n)),
+            os.path.getmtime(os.path.join(path, n)))
+        for n in os.listdir(path) if n.endswith(".parquet")
+    }
+    keys_before = {
+        r["o_orderkey"] for r in spark.read.parquet(path).collect()
+    }
+    lo, hi = 100, 260
+    expect_deleted = {k for k in keys_before if lo <= k <= hi}
+    assert expect_deleted
+
+    stats = delete_where(
+        spark, path, f"o_orderkey BETWEEN {lo} AND {hi}"
+    )
+    assert stats["rows_deleted"] == len(expect_deleted)
+    assert 1 <= stats["files_rewritten"] < stats["files_total"]
+
+    after_files = [
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    ]
+    untouched = [
+        n for n in after_files
+        if n in before
+        and (os.path.getsize(os.path.join(path, n)),
+             os.path.getmtime(os.path.join(path, n))) == before[n]
+    ]
+    assert len(untouched) >= stats["files_total"] - stats["files_rewritten"]
+
+    keys_after = {
+        r["o_orderkey"] for r in spark.read.parquet(path).collect()
+    }
+    assert keys_after == keys_before - expect_deleted
+
+
+def test_delete_where_no_matches_touches_nothing(spark, tmp_path):
+    from data_ingestion_tool_spark.sinks.layout import delete_where
+
+    path = str(tmp_path / "tbl")
+    load_table(spark, SF_CORRECT, "region").write.parquet(path)
+    listing = sorted(os.listdir(path))
+    stats = delete_where(spark, path, "r_regionkey > 1000000")
+    assert stats["rows_deleted"] == 0 and stats["files_rewritten"] == 0
+    assert sorted(os.listdir(path)) == listing
