@@ -375,3 +375,69 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
         "files_rewritten": len(hit_paths),
         "rows_deleted": rows_deleted,
     }
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> dict:
+    """Targeted UPDATE over a plain parquet directory — the same
+    file-level rewrite discipline as :func:`delete_where` (one
+    predicate-pushed scan finds the files containing matches, only
+    those rewrite, staged swap), but matching rows are rewritten with
+    ``assignments`` (column → SQL expression) applied instead of
+    dropped. Non-matching rows in a hit file are carried through
+    unchanged; untouched files stay byte-identical.
+
+    Returns ``{"files_total", "files_rewritten", "rows_updated"}``.
+    """
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.parquet(path)
+    matched = df.where(predicate)
+    hit_uris = sorted(
+        r[0]
+        for r in matched.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    )
+    files_total = len(
+        [n for n in os.listdir(path) if n.endswith(".parquet")]
+    )
+    if not hit_uris:
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_updated": 0,
+        }
+    hit_paths = [unquote(urlparse(u).path) for u in hit_uris]
+    rows_updated = matched.count()
+    hit_df = spark.read.parquet(*hit_paths)
+    cond = F.expr(predicate)
+    rewritten = hit_df.select(
+        *[
+            F.when(cond, F.expr(assignments[c]).cast(hit_df.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in hit_df.columns
+        ]
+    )
+    tmp = path.rstrip("/") + "__update_tmp"
+    rewritten.write.mode("overwrite").parquet(tmp)
+    for p in hit_paths:
+        os.remove(p)
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(tmp, name), os.path.join(path, name))
+    import shutil
+
+    shutil.rmtree(tmp)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(hit_paths),
+        "rows_updated": rows_updated,
+    }

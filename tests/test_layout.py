@@ -240,3 +240,46 @@ def test_delete_where_no_matches_touches_nothing(spark, tmp_path):
     stats = delete_where(spark, path, "r_regionkey > 1000000")
     assert stats["rows_deleted"] == 0 and stats["files_rewritten"] == 0
     assert sorted(os.listdir(path)) == listing
+
+
+def test_update_where_rewrites_only_hit_files(spark, tmp_path):
+    """Targeted update: matching rows get the assignment, co-resident
+    rows carry through, untouched files stay byte-identical."""
+    from data_ingestion_tool_spark.sinks.layout import update_where
+
+    path = str(tmp_path / "tbl")
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(path)
+    before = {
+        n: os.path.getmtime(os.path.join(path, n))
+        for n in os.listdir(path) if n.endswith(".parquet")
+    }
+    total_before = spark.read.parquet(path).count()
+
+    stats = update_where(
+        spark, path, "o_orderkey BETWEEN 100 AND 260",
+        {"o_orderstatus": "'X'", "o_totalprice": "o_totalprice * 2"},
+    )
+    assert stats["rows_updated"] > 0
+    assert 1 <= stats["files_rewritten"] < stats["files_total"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == total_before
+    updated = after.where("o_orderkey BETWEEN 100 AND 260")
+    assert updated.where("o_orderstatus <> 'X'").count() == 0
+    assert (
+        after.where("NOT (o_orderkey BETWEEN 100 AND 260)")
+        .where("o_orderstatus = 'X'")
+        .count()
+        == 0
+    )
+    untouched = [
+        n for n in os.listdir(path)
+        if n.endswith(".parquet") and n in before
+        and os.path.getmtime(os.path.join(path, n)) == before[n]
+    ]
+    assert len(untouched) >= stats["files_total"] - stats["files_rewritten"]
