@@ -358,6 +358,54 @@ def build_ivf_index(
     centroids = _ivf_train(emb)
     lists = _ivf_assign(spark, emb, centroids)
     lists.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+    _save_ivf_centroids(spark, index_path, centroids)
+
+
+def _save_ivf_centroids(spark: SparkSession, index_path: str, centroids) -> None:
+    """Persist the trained centroids INSIDE the index (underscore-
+    prefixed dir — invisible to parquet directory listing), so later
+    probes and upserts reuse the exact train-time quantizer instead of
+    re-training on a corpus that has since grown."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "centroid_id int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        index_path.rstrip("/") + "/_centroids"
+    )
+
+
+def load_ivf_centroids(spark: SparkSession, index_path: str):
+    """Load the persisted quantizer; None when the index predates
+    centroid persistence (probe then falls back to retraining)."""
+    import os
+
+    import numpy as np
+
+    cdir = index_path.rstrip("/") + "/_centroids"
+    if not os.path.isdir(cdir):
+        return None
+    pdf = spark.read.parquet(cdir).orderBy("centroid_id").toPandas()
+    return np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+
+
+def ivf_index_upsert(
+    spark: SparkSession, index_path: str, new_emb: DataFrame
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors with the
+    index's PERSISTED quantizer (no retrain — centroids are the
+    index's contract) and append them — a ``partitionBy`` append
+    writes new part files only under the affected ``list_id``
+    directories, so every untouched inverted list keeps its existing
+    files byte-identical. At 100 TB this is the difference between
+    absorbing a day's new vectors and rebuilding the index."""
+    centroids = load_ivf_centroids(spark, index_path)
+    if centroids is None:
+        raise ValueError(
+            f"{index_path} has no persisted centroids; rebuild with "
+            "build_ivf_index before upserting"
+        )
+    lists = _ivf_assign(spark, new_emb.select("vec_id", "embedding"), centroids)
+    lists.write.mode("append").partitionBy("list_id").parquet(index_path)
 
 
 def ann_ivf_topk_indexed(
@@ -369,7 +417,8 @@ def ann_ivf_topk_indexed(
     import numpy as np
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    centroids = _ivf_train(emb)
+    saved = load_ivf_centroids(spark, index_path)
+    centroids = saved if saved is not None else _ivf_train(emb)
 
     q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     q_mat = _unit_rows(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))

@@ -714,3 +714,56 @@ def test_bpe_apply_matches_reference_tokenization(spark, tmp_path):
     for i, (w, f) in enumerate(sorted(words.items())):
         n_sub = len(bpe_apply_reference(w, merges))
         assert got[i] == (f, f * n_sub), (w, got[i], n_sub)
+
+
+def test_ivf_index_upsert_appends_without_rewriting(spark, tmp_path):
+    """Incremental IVF maintenance: new vectors assign with the
+    PERSISTED quantizer and append under their list_id partitions —
+    every pre-existing index file stays byte-identical, and the grown
+    index equals a from-scratch assignment of the union corpus with
+    the same centroids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _ivf_assign,
+        build_ivf_index,
+        ivf_index_upsert,
+        load_ivf_centroids,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, "/root/testdata/sf0.01", idx)
+    cents = load_ivf_centroids(spark, idx)
+    assert cents is not None and len(cents) > 0
+
+    old_files = {}
+    for root, _dirs, files in os.walk(idx):
+        for f in files:
+            if "_SUCCESS" in f:  # commit marker is refreshed on append
+                continue
+            p = os.path.join(root, f)
+            old_files[p] = (os.path.getsize(p), os.path.getmtime(p))
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    new_emb = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_upsert(spark, idx, new_emb)
+
+    for p, sig in old_files.items():
+        assert os.path.exists(p), p
+        assert (os.path.getsize(p), os.path.getmtime(p)) == sig, p
+
+    grown = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    union = emb.select("vec_id", "embedding").unionByName(new_emb)
+    expected = {
+        (r["vec_id"], r["list_id"])
+        for r in _ivf_assign(spark, union, cents).collect()
+    }
+    assert grown == expected
