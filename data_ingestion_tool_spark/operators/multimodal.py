@@ -540,6 +540,59 @@ def media_near_dup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal curation flagship — the media twin of
+    ``corpus_prep_pipeline``, one lazy plan end to end:
+
+    1. exact dedup WITHOUT decoding (md5 digest keep-lowest — raw
+       payload bytes never shuffle);
+    2. feature-space near-dup on the survivors (Arrow featurizer +
+       the shared blocked GEMM kernel), keep-lowest drop rule (a
+       member pairing with ANY smaller id is dropped — the same
+       non-iterative rule ``semantic_dedup`` uses, deliberately not
+       transitive-closure);
+    3. curated output rows with the metadata a training manifest
+       needs (id, type, duration).
+
+    Deterministic end to end (digest min, stub featurizer, id-ordered
+    drop rule) → stable row set; rows-only driver check (the
+    featurizer is not SQL-expressible), planted-corpus pytest."""
+    m = media_table_from_documents(spark, sf_dir)
+    canonical = (
+        m.select("media_id", F.md5(F.col("payload")).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    survivors = m.join(canonical, "media_id", "left_semi")
+    # feature near-dup over the exact-dedup survivors
+    from data_ingestion_tool_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    feats = extract_features(survivors).select(
+        F.col("media_id").cast("long").alias("mid"), "embedding"
+    )
+    drops = (
+        blocked_cosine_pairs(
+            feats,
+            id_col="mid",
+            vec_col="embedding",
+            threshold=_MEDIA_NEAR_DUP_COSINE,
+        )
+        .select(F.col("id_b").cast("string").alias("media_id"))
+        .distinct()
+    )
+    return (
+        survivors.join(drops, "media_id", "left_anti")
+        .select(
+            "media_id",
+            "media_type",
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+    )
+
+
 def _specs():
     from data_ingestion_tool_spark.operators.base import QuerySpec
 
@@ -575,6 +628,10 @@ def _specs():
         QuerySpec("media_near_dup_features", media_near_dup_features, None,
                   "feature-space media near-dup via the blocked kernel",
                   ("multimodal", "dedup", "similarity")),
+        QuerySpec("multimodal_prep_pipeline", multimodal_prep_pipeline, None,
+                  "composed media curation: exact dedup → feature "
+                  "near-dup → manifest rows, one plan",
+                  ("multimodal", "dedup", "flagship")),
     ]
 
 

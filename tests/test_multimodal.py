@@ -114,3 +114,44 @@ def test_media_near_dup_features_runs_on_testdata(spark):
     df = media_near_dup_features(spark, "/root/testdata/sf0.01")
     assert set(df.columns) == {"media_a", "media_b"}
     assert df.count() >= 0
+
+
+def test_multimodal_prep_pipeline_planted_corpus(spark, tmp_path):
+    """Exact dup drops first (keep-lowest digest member), then feature
+    near-dups (identical payloads embed identically) — distinct
+    payloads all survive."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.multimodal import (
+        multimodal_prep_pipeline,
+    )
+
+    rows = [
+        (0, "alpha doc " * 5),
+        (1, "beta doc " * 5),
+        (2, "alpha doc " * 5),   # exact dup of 0 → dropped at step 1
+        (3, "gamma doc " * 5),
+        (4, "beta doc " * 5),    # exact dup of 1 → dropped at step 1
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out = multimodal_prep_pipeline(spark, sf_dir)
+    assert set(out.columns) == {"media_id", "media_type", "duration_ms"}
+    assert sorted(r["media_id"] for r in out.collect()) == ["0", "1", "3"]
+
+
+def test_multimodal_prep_pipeline_runs_on_testdata(spark):
+    from data_ingestion_tool_spark.operators.multimodal import (
+        media_table_from_documents,
+        multimodal_prep_pipeline,
+    )
+
+    n_in = media_table_from_documents(spark, "/root/testdata/sf0.01").count()
+    out = multimodal_prep_pipeline(spark, "/root/testdata/sf0.01")
+    n_out = out.count()
+    assert 0 < n_out <= n_in
