@@ -137,7 +137,49 @@ LIMIT 20
 """
 
 
+def self_join_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact self-join output cardinality WITHOUT executing the join:
+    |T ⋈_k T| = Σ_k n(k)² — the "can I afford this pair enumeration"
+    check you run before any similarity/dedup self-join at 100 TB (and
+    the quantitative justification for this repo's posting-list caps:
+    the answer scales with the square of the hottest key).
+
+    Scale shape: one map-side-combinable per-key count (the profile
+    cannot itself skew), then a 1-row aggregate of n² moments — the
+    join never runs, the count table is |keys|-sized, and the result
+    is a single row of exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.sum(F.col("n") * F.col("n")).alias("total_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max(F.col("n") * F.col("n")).alias("max_key_pairs"),
+        F.round(
+            F.max(F.col("n") * F.col("n")).cast("double")
+            / F.sum(F.col("n") * F.col("n")),
+            6,
+        ).alias("hottest_key_share"),
+    )
+
+
+SELF_JOIN_BLOWUP_ESTIMATE_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(n * n) AS BIGINT) AS total_pairs,
+       COUNT(*) AS n_keys,
+       CAST(MAX(n * n) AS BIGINT) AS max_key_pairs,
+       ROUND(CAST(MAX(n * n) AS DOUBLE) / SUM(n * n), 6)
+         AS hottest_key_share
+FROM counts
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("self_join_blowup_estimate", self_join_blowup_estimate,
+              SELF_JOIN_BLOWUP_ESTIMATE_SQL,
+              "exact self-join cardinality without running the join",
+              ("skew", "profiling")),
     QuerySpec("salted_revenue_by_priority", salted_revenue_by_priority,
               SALTED_REVENUE_BY_PRIORITY_SQL,
               "hot-key-salted fact-dim join, oracle-proven equivalent",
