@@ -375,3 +375,30 @@ def test_ingest_real_xlsx_validate_mode(spark, remote_dir, tmp_path):
     assert summary["invalid_rows"] == 1
     main = spark.table("sales_xlsx")
     assert sorted(r["id"] for r in main.select("id").collect()) == [1, 4]
+
+
+def test_cli_list_run_sql_explain(spark, tmp_path, capsys):
+    """The module CLI: list shows the registry, run executes a query,
+    sql delegates arbitrary statements over registered views, explain
+    prints a formatted plan, unknown names suggest matches."""
+    from data_ingestion_tool_spark.__main__ import main
+
+    assert main(["list", "--tag", "tpch"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q6_forecast_revenue" in out
+
+    assert main(["run", "region_nation_cross", "--sf-dir",
+                 "/root/testdata/sf0.01", "--limit", "3"]) == 0
+    assert main(["run", "no_such_query_xyz"]) == 2
+    assert "close matches" in capsys.readouterr().err
+
+    dest = str(tmp_path / "cli_out")
+    assert main(["sql",
+                 "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10",
+                 "--sf-dir", "/root/testdata/sf0.01", "--out", dest]) == 0
+    n = spark.read.parquet(dest).first()["n"]
+    assert n > 0
+
+    assert main(["explain", "pricing_summary", "--sf-dir",
+                 "/root/testdata/sf0.01"]) == 0
+    assert "Scan parquet" in capsys.readouterr().out
