@@ -414,3 +414,43 @@ def read_reach_state(spark: SparkSession, state_dir: str) -> DataFrame:
         "event_type",
         F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
     )
+
+
+def vector_index_stream(
+    vectors: DataFrame,
+    *,
+    index_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained ANN index: a stream of (vec_id,
+    embedding) rows appends into the partitioned IVF index via
+    :func:`~data_ingestion_tool_spark.operators.similarity.ivf_index_upsert`
+    each micro-batch — the "vectors land, index stays fresh" loop of a
+    retrieval/RAG ingestion pipeline, without ever rebuilding.
+
+    Scale/consistency shape: assignment uses the index's PERSISTED
+    quantizer (centroids are the index's contract — a micro-batch
+    never retrains), each batch appends new part files only under the
+    list_id partitions it touches, and exactly-once lands on the
+    checkpoint + append pairing: a replayed batch re-appends, so the
+    checkpoint guards delivery while the (vec_id-keyed) reader side
+    dedups if at-least-once is ever observed across a crash — the
+    standard parquet-sink contract, stated rather than hidden.
+
+    The index must exist (``build_ivf_index``) before the stream
+    starts; the first batch fails fast otherwise.
+    """
+    from data_ingestion_tool_spark.operators.similarity import (
+        ivf_index_upsert,
+    )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_upsert(batch_df.sparkSession, index_path, batch_df)
+
+    writer = vectors.writeStream.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(upsert).start()

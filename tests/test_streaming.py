@@ -356,3 +356,58 @@ def test_incremental_sketch_reach_across_batches(spark, tmp_path):
     q2.awaitTermination(60)
     est2 = {r["event_type"]: r["est_users"] for r in read_reach_state(spark, state).collect()}
     assert est2 == {"click": 2, "view": 1}
+
+
+def test_vector_index_stream_keeps_index_fresh(spark, tmp_path):
+    """Streaming IVF maintenance: vectors arriving as files are
+    appended into the partitioned index per micro-batch; after the
+    stream drains, the index equals a from-scratch assignment of the
+    full corpus with the original quantizer."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _ivf_assign,
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+    from data_ingestion_tool_spark.streaming.streams import (
+        vector_index_stream,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, "/root/testdata/sf0.001", idx)
+    cents = load_ivf_centroids(spark, idx)
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    new1 = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding")
+    new2 = base.select((F.col("vec_id") + 2_000_000).alias("vec_id"),
+                       "embedding")
+    new1.write.parquet(str(inbox / "batch1"))
+    new2.write.parquet(str(inbox / "batch2"))
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("recursiveFileLookup", "true").parquet(str(inbox))
+    q = vector_index_stream(
+        stream,
+        index_path=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    grown = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    }
+    union = base.unionByName(new1).unionByName(new2)
+    expected = {
+        (r["vec_id"], r["list_id"])
+        for r in _ivf_assign(spark, union, cents).collect()
+    }
+    assert grown == expected
