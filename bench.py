@@ -66,6 +66,8 @@ HEADLINE = [
     "cooccurrence_pmi",
     "skyline_orders",
     "bpe_fit_merges",
+    "tpch_q2_min_cost_supplier",
+    "user_activity_similarity",
 ]
 
 
