@@ -75,3 +75,28 @@ def test_plans_md_covers_audited_queries():
     assert len(sections) >= 40
     for name in sections:
         assert name in reg, f"PLANS.md section {name} not in registry"
+
+
+def test_bench_diff_reads_both_formats(tmp_path):
+    """tools/bench_diff.py accepts bench.py's raw line and the round
+    driver's wrapper, and flags regressions via exit code."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_diff
+
+    raw = tmp_path / "raw.json"
+    raw.write_text(json.dumps(
+        {"metric": "m", "value": 2.0, "unit": "sec",
+         "queries": {"a": 1.0, "b": 1.0}}
+    ))
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps(
+        {"n": 1, "parsed": {"queries": {"a": 2.0, "b": 0.5}}}
+    ))
+    assert bench_diff.load(str(raw)) == {"a": 1.0, "b": 1.0}
+    assert bench_diff.load(str(wrapped)) == {"a": 2.0, "b": 0.5}
+    # a (1.0 -> 2.0) regresses beyond 1.3x -> exit 1
+    assert bench_diff.main([str(raw), str(wrapped)]) == 1
+    assert bench_diff.main([str(raw), str(wrapped), "--flag", "3.0"]) == 0
