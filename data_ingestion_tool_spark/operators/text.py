@@ -841,6 +841,61 @@ LIMIT {_HH_CAPACITY}
 """
 
 
+#: Polynomial rolling-hash parameters (Rabin–Karp): base and Mersenne
+#: modulus sized so acc·B + v stays far inside int64 on both engines.
+_RH_B = 1000003
+_RH_M = (1 << 31) - 1
+
+
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp polynomial rolling-hash document fingerprints —
+    the order-sensitive sibling of the md5 content digest
+    (``doc_fingerprints``): h = fold(h·B + v(tok) mod M) over the
+    token stream, so ANY reordering changes the fingerprint, and an
+    incremental ingester can extend a stored prefix hash in O(new
+    tokens) instead of re-hashing the document.
+
+    Cross-engine determinism: per-token values derive from md5 (both
+    engines agree), the fold is exact int64 arithmetic under a
+    Mersenne modulus (acc·B + v < 2⁵¹), and Spark's ``aggregate``
+    from a zero seed equals DuckDB's seedless ``list_reduce`` because
+    step one reduces to v₁ in both. Everything stays in codegen — no
+    Python, no shuffle at all (per-row narrow projection)."""
+    d = _docs(spark, sf_dir)
+    vals = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long") % _RH_M,
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _RH_B + v) % _RH_M,
+    )
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        fp.alias("fingerprint"),
+    )
+
+
+DOC_ROLLING_FINGERPRINTS_SQL = rf"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_reduce(
+         list_transform(
+           toks,
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {_RH_M}
+         ),
+         (acc, x) -> (acc * {_RH_B} + x) % {_RH_M}
+       ) AS fingerprint
+FROM (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+)
+"""
+
+
 def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair vocabulary Jaccard — the source-similarity matrix a
     corpus curator reads before setting mixing weights (two sources
@@ -2102,6 +2157,10 @@ SPECS: list[QuerySpec] = [
               SOURCE_VOCAB_OVERLAP_SQL,
               "source-pair vocabulary Jaccard (mixing-decision matrix)",
               ("text", "profiling")),
+    QuerySpec("doc_rolling_fingerprints", doc_rolling_fingerprints,
+              DOC_ROLLING_FINGERPRINTS_SQL,
+              "Rabin-Karp polynomial rolling-hash fingerprints",
+              ("text", "dedup")),
     QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
               BOILERPLATE_SQL,
               "corpus-frequency boilerplate n-gram detection + keep flag",
