@@ -2025,42 +2025,33 @@ GROUP BY l_returnflag
 """
 
 
-def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto frontier (skyline) of orders over (totalprice ↑,
-    orderdate ↑): the points no other point beats on both axes — the
-    multi-criteria shortlist operator (best price/recency trade-offs)
-    relational engines express as an O(n²) NOT EXISTS anti-join.
+def pareto_frontier(pts: DataFrame, x: str, y: str) -> DataFrame:
+    """Generic two-phase distributed 2-D skyline over DISTINCT
+    ``(x, y)`` rows (maximize both): the skyline of a union is a
+    subset of the union of per-partition skylines, so phase 1 computes
+    each Arrow batch's local frontier with one sorted cummax sweep
+    (O(p log p) per batch, never cross-partition), and phase 2
+    re-sweeps only the surviving candidates — frontier-sized,
+    typically O(log n) points for non-adversarial data — on one
+    partition. No global sort of the base data, no pairwise join.
+    (An anti-correlated worst case can make any skyline large — that
+    is a property of the answer, not the algorithm.)
 
-    Scale shape — the classic two-phase distributed skyline: the
-    skyline of a union is a subset of the union of per-partition
-    skylines, so phase 1 computes each partition's local frontier with
-    a single sorted cummax sweep over its Arrow batch (O(p log p) per
-    partition, never cross-partition), and phase 2 re-sweeps only the
-    surviving candidates — frontier-sized, typically O(log n) points
-    for non-adversarial data — on one partition. No global sort of the
-    base data, no pairwise join; a 1000× corpus changes phase 1's scan
-    only. (An anti-correlated worst case can make any skyline large —
-    that is a property of the answer, not the algorithm.)
-
-    Points are deduplicated first so strict-dominance sweeps are
-    well-defined; price is cast to double (exact for DECIMAL(15,2)
-    magnitudes) and dates to timestamp_ntz for the cross-engine
-    comparison bridge.
-    """
+    Column types must sort consistently in pandas (numeric /
+    datetime64); hypothesis-tested against brute-force dominance."""
     import pandas as pd
 
-    o = _t(spark, sf_dir, "orders")
-    pts = o.select(
-        F.col("o_totalprice").cast("double").alias("price"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("odate"),
-    ).distinct()
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in pts.select(x, y).schema.fields
+    )
 
     def _frontier(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(
-            ["price", "odate"], ascending=[False, False]
-        ).reset_index(drop=True)
-        prior_max = pdf["odate"].cummax().shift(1)
-        return pdf[prior_max.isna() | (pdf["odate"] > prior_max)]
+        pdf = pdf.sort_values([x, y], ascending=[False, False]).reset_index(
+            drop=True
+        )
+        prior_max = pdf[y].cummax().shift(1)
+        return pdf[prior_max.isna() | (pdf[y] > prior_max)]
 
     def sweep_batches(batches):
         # per-Arrow-batch sweep: bounded state, and the union of
@@ -2076,9 +2067,28 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frames:
             yield _frontier(pd.concat(frames, ignore_index=True))
 
-    schema = "price double, odate timestamp_ntz"
-    local = pts.mapInPandas(sweep_batches, schema)
+    local = pts.select(x, y).mapInPandas(sweep_batches, schema)
     return local.coalesce(1).mapInPandas(sweep_all, schema)
+
+
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (totalprice ↑,
+    orderdate ↑): the points no other point beats on both axes — the
+    multi-criteria shortlist operator (best price/recency trade-offs)
+    relational engines express as an O(n²) NOT EXISTS anti-join.
+    :func:`pareto_frontier` is the reusable two-phase kernel.
+
+    Points are deduplicated first so strict-dominance sweeps are
+    well-defined; price is cast to double (exact for DECIMAL(15,2)
+    magnitudes) and dates to timestamp_ntz for the cross-engine
+    comparison bridge.
+    """
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("odate"),
+    ).distinct()
+    return pareto_frontier(pts, "price", "odate")
 
 
 SKYLINE_ORDERS_SQL = """
