@@ -45,9 +45,13 @@ _MODULES = [
 #: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, pin the
 #: two deferred entries (window_rank_extras, agg_string_concat — their
 #: window/agg families are already driver-green from r01) plus every
-#: oracle-paired query added in round 3: exact_user_reach,
-#: exact_top_terms, label_centroid_norms, bm25_search,
-#: cooccurrence_pmi, skyline_orders, and tpch_q2/q12/q16/q20.
+#: oracle-paired query added in round 3 (all pre-verified at sf0.01
+#: AND sf0.1 locally): exact_user_reach, exact_top_terms,
+#: label_centroid_norms, embedding_dimension_stats, bm25_search,
+#: cooccurrence_pmi, source_vocab_overlap, doc_rolling_fingerprints,
+#: skyline_orders, self_join_blowup_estimate, time_weighted_avg_value,
+#: frequent_event_sequences, user_activity_similarity, and
+#: tpch_q2/q12/q16/q20.
 _FRONT = [
     # composed flagships (round-2 additions, never driver-checked)
     "corpus_prep_pipeline",
