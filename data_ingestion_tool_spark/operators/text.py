@@ -1411,6 +1411,47 @@ def _md5_uniform_expr(key_sql: str, *, duck: bool) -> str:
     return f"(({terms}) / 16777216.0)"
 
 
+_WRS_K = 50
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): k documents drawn with probability proportional to their
+    byte weight in ONE pass — the corpus-subsampling primitive behind
+    "give me a 1B-token sample that preserves the size mix".
+
+    Each row's sort key is ln(u)/w (monotone in u^(1/w), the A-Res
+    key) with u the deterministic md5-uniform draw, so the "random"
+    sample is a pure function of the corpus: replayable, and the
+    DuckDB oracle reproduces it bit-for-bit. The top-k by key is a
+    TakeOrderedAndProject — per-partition partial top-k, k rows to
+    the driver, no shuffle of the corpus. u is shifted to (0,1) so
+    ln() never sees zero on either engine."""
+    d = _docs(spark, sf_dir)
+    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
+    u_open = (u * 16777215.0 + 0.5) / 16777216.0  # (0,1) exclusive
+    key = F.log(u_open) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("wrs_key"))
+        .orderBy(F.desc("wrs_key"), "doc_id")
+        .limit(_WRS_K)
+        .select("doc_id", "source", "n_chars",
+                F.round("wrs_key", 9).alias("wrs_key"))
+    )
+
+
+WEIGHTED_DOC_SAMPLE_SQL = rf"""
+SELECT doc_id, source, n_chars,
+       ROUND(ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
+                / 16777216.0) / n_chars, 9) AS wrs_key
+FROM documents
+ORDER BY ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
+            / 16777216.0) / n_chars DESC, doc_id
+LIMIT {_WRS_K}
+"""
+
+
+
 def mix_weights(docs: DataFrame) -> DataFrame:
     """THE temperature-mixing formula, defined once: ``(source,
     n_chars)`` rows in → ``(source, n_docs, n_bytes, weight, keep_p)``
@@ -2161,6 +2202,10 @@ SPECS: list[QuerySpec] = [
               DOC_ROLLING_FINGERPRINTS_SQL,
               "Rabin-Karp polynomial rolling-hash fingerprints",
               ("text", "dedup")),
+    QuerySpec("weighted_doc_sample", weighted_doc_sample,
+              WEIGHTED_DOC_SAMPLE_SQL,
+              "A-Res weighted sampling without replacement, replayable",
+              ("text", "llm")),
     QuerySpec("boilerplate_ngram_flags", boilerplate_ngram_flags,
               BOILERPLATE_SQL,
               "corpus-frequency boilerplate n-gram detection + keep flag",

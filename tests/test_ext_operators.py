@@ -767,3 +767,20 @@ def test_ivf_index_upsert_appends_without_rewriting(spark, tmp_path):
         for r in _ivf_assign(spark, union, cents).collect()
     }
     assert grown == expected
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """A-Res weighting works: the byte-weighted sample's mean doc size
+    exceeds the corpus mean (deterministic draw → fixed assertion)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators import registry
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    sample = registry()["weighted_doc_sample"].builder(spark, sf)
+    m_sample = sample.agg(F.avg("n_chars")).first()[0]
+    m_corpus = (
+        load_table(spark, sf, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert m_sample > m_corpus * 1.1
