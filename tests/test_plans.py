@@ -535,3 +535,23 @@ def test_tpch_q20_nested_agg_reuses_partition(spark):
     assert rep.sort_merge_joins == 0
     assert rep.nested_loop_joins == 0
     assert rep.exchanges <= 3
+
+
+def test_rolling_fingerprints_never_shuffle(spark):
+    """The Rabin-Karp fold is a pure per-row projection: zero
+    exchanges, zero Python stages."""
+    rep = plan_report(REG["doc_rolling_fingerprints"].builder(spark, SF_CORRECT))
+    assert rep.exchanges == 0
+    assert rep.map_in_pandas == 0
+
+
+def test_weighted_sample_is_partial_topk_not_global_sort(spark):
+    """A-Res sampling must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a full sort of the corpus."""
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    df = REG["weighted_doc_sample"].builder(spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    rep = plan_report(df)
+    assert rep.exchanges == 0
+    assert rep.map_in_pandas == 0
