@@ -68,6 +68,13 @@ HEADLINE = [
     "bpe_fit_merges",
     "tpch_q2_min_cost_supplier",
     "user_activity_similarity",
+    "source_vocab_overlap",
+    "frequent_event_sequences",
+    "time_weighted_avg_value",
+    "doc_rolling_fingerprints",
+    "weighted_doc_sample",
+    "self_join_blowup_estimate",
+    "embedding_dimension_stats",
 ]
 
 
