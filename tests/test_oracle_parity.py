@@ -128,6 +128,8 @@ _TZ_SENSITIVE = [
         "exact_user_reach",
         "tpch_q12_priority_shipping",
         "user_activity_similarity",
+        "time_weighted_avg_value",
+        "frequent_event_sequences",
     )
     if REG[n].oracle is not None
 ]
