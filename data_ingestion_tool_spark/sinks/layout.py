@@ -441,3 +441,76 @@ def update_where(
         "files_rewritten": len(hit_paths),
         "rows_updated": rows_updated,
     }
+
+
+def merge_upsert_where(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> dict:
+    """MERGE (upsert) for a plain parquet directory with the
+    file-targeted rewrite discipline of :func:`delete_where` /
+    :func:`update_where`: files containing MATCHED keys are rewritten
+    with the source's rows taking precedence (carry-through for
+    co-resident rows), and source rows with UNMATCHED keys append as
+    new part files — untouched files stay byte-identical. This is the
+    Delta/Iceberg MERGE INTO file plan without the transaction log;
+    the table-catalog variant lives in ``sinks.tables.merge_upsert``.
+
+    Returns ``{"files_total", "files_rewritten", "rows_updated",
+    "rows_inserted"}``.
+    """
+    from urllib.parse import unquote, urlparse
+
+    tgt = spark.read.parquet(path)
+    src_keys = source.select(*keys).distinct()
+    # capture the file name IN the scan stage (before any join — after
+    # a shuffle/broadcast join input_file_name loses its context)
+    matched = tgt.withColumn("_f", F.input_file_name()).join(
+        src_keys, keys, "left_semi"
+    )
+    hit_uris = sorted(
+        r[0] for r in matched.select("_f").distinct().collect()
+    )
+    files_total = len(
+        [n for n in os.listdir(path) if n.endswith(".parquet")]
+    )
+    rows_updated = matched.count()
+    inserts = source.join(tgt.select(*keys).distinct(), keys, "left_anti")
+    rows_inserted = inserts.count()
+
+    import shutil
+
+    # stage EVERY output while the target files are still intact —
+    # lazy plans over `tgt` must never re-scan a half-swapped dir
+    tmp = path.rstrip("/") + "__merge_tmp"
+    tmp_new = path.rstrip("/") + "__merge_new"
+    hit_paths = [unquote(urlparse(u).path) for u in hit_uris]
+    if hit_paths:
+        hit_df = spark.read.parquet(*hit_paths)
+        carried = hit_df.join(src_keys, keys, "left_anti")
+        replacements = source.join(
+            hit_df.select(*keys).distinct(), keys, "left_semi"
+        ).select(*hit_df.columns)
+        carried.unionByName(replacements).write.mode("overwrite").parquet(tmp)
+    if rows_inserted:
+        inserts.select(*tgt.columns).write.mode("overwrite").parquet(tmp_new)
+
+    # swap: all replacements and inserts are fully written and closed
+    for hp in hit_paths:
+        os.remove(hp)
+    for staged in (tmp, tmp_new):
+        if os.path.isdir(staged):
+            for name in os.listdir(staged):
+                if name.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(staged, name), os.path.join(path, name)
+                    )
+            shutil.rmtree(staged)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(hit_uris),
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+    }

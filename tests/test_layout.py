@@ -283,3 +283,38 @@ def test_update_where_rewrites_only_hit_files(spark, tmp_path):
         and os.path.getmtime(os.path.join(path, n)) == before[n]
     ]
     assert len(untouched) >= stats["files_total"] - stats["files_rewritten"]
+
+
+def test_merge_upsert_where_updates_inserts_and_preserves(spark, tmp_path):
+    """Dir-level MERGE: matched keys take the source row, unmatched
+    source keys append, co-resident rows carry through, files without
+    matches stay byte-identical."""
+    from data_ingestion_tool_spark.sinks.layout import merge_upsert_where
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(k, f"v{k}") for k in range(100)], "k long, v string"
+    ).repartitionByRange(5, "k").sortWithinPartitions("k").write.parquet(path)
+    before = {
+        n: os.path.getmtime(os.path.join(path, n))
+        for n in os.listdir(path) if n.endswith(".parquet")
+    }
+
+    src = spark.createDataFrame(
+        [(7, "UPDATED"), (8, "UPDATED"), (200, "NEW")], "k long, v string"
+    )
+    stats = merge_upsert_where(spark, path, src, ["k"])
+    assert stats["rows_updated"] == 2 and stats["rows_inserted"] == 1
+    assert 1 <= stats["files_rewritten"] < stats["files_total"]
+
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 101
+    assert got[7] == "UPDATED" and got[8] == "UPDATED" and got[200] == "NEW"
+    assert got[6] == "v6" and got[99] == "v99"
+
+    untouched = [
+        n for n in os.listdir(path)
+        if n.endswith(".parquet") and n in before
+        and os.path.getmtime(os.path.join(path, n)) == before[n]
+    ]
+    assert len(untouched) >= stats["files_total"] - stats["files_rewritten"]
