@@ -320,6 +320,24 @@ def write_training_shards(
     return spark.read.parquet(os.path.join(path, "manifest"))
 
 
+def _assert_flat_parquet_dir(path: str, op: str) -> None:
+    """The file-targeted DML rewrites write FLAT part files into the
+    directory root; on a hive-partitioned layout that would drop the
+    partition columns from rewritten rows and corrupt reads. Partition
+    layouts need partition-aware rewrites (or Delta/Iceberg) — fail
+    loudly instead of silently mixing layouts."""
+    parts = [
+        n for n in os.listdir(path)
+        if "=" in n and os.path.isdir(os.path.join(path, n))
+    ]
+    if parts:
+        raise ValueError(
+            f"{op} supports flat parquet directories only; {path} is "
+            f"hive-partitioned ({parts[0]}, ...). Rewrite per-partition "
+            "or use a table format with a transaction log."
+        )
+
+
 def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     """Targeted row deletion (GDPR / right-to-be-forgotten) over a
     plain parquet directory: ONE predicate-pushed scan identifies the
@@ -336,6 +354,8 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
     """
     from urllib.parse import unquote, urlparse
+
+    _assert_flat_parquet_dir(path, "delete_where")
 
     df = spark.read.parquet(path)
     matched = df.where(predicate)
@@ -394,6 +414,8 @@ def update_where(
     Returns ``{"files_total", "files_rewritten", "rows_updated"}``.
     """
     from urllib.parse import unquote, urlparse
+
+    _assert_flat_parquet_dir(path, "update_where")
 
     df = spark.read.parquet(path)
     matched = df.where(predicate)
@@ -462,6 +484,8 @@ def merge_upsert_where(
     "rows_inserted"}``.
     """
     from urllib.parse import unquote, urlparse
+
+    _assert_flat_parquet_dir(path, "merge_upsert_where")
 
     tgt = spark.read.parquet(path)
     src_keys = source.select(*keys).distinct()

@@ -318,3 +318,31 @@ def test_merge_upsert_where_updates_inserts_and_preserves(spark, tmp_path):
         and os.path.getmtime(os.path.join(path, n)) == before[n]
     ]
     assert len(untouched) >= stats["files_total"] - stats["files_rewritten"]
+
+
+def test_dml_refuses_hive_partitioned_layout(spark, tmp_path):
+    """The flat-file DML rewrite would drop partition columns on a
+    hive layout — it must refuse loudly, not corrupt."""
+    import pytest
+
+    from data_ingestion_tool_spark.sinks.layout import (
+        delete_where,
+        merge_upsert_where,
+        update_where,
+    )
+
+    path = str(tmp_path / "ptbl")
+    load_table(spark, SF_CORRECT, "orders").withColumn(
+        "bucket", F.pmod("o_orderkey", F.lit(4))
+    ).write.partitionBy("bucket").parquet(path)
+
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        delete_where(spark, path, "o_orderkey < 10")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        update_where(spark, path, "o_orderkey < 10", {"o_totalprice": "0"})
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        merge_upsert_where(
+            spark, path,
+            spark.createDataFrame([(1,)], "o_orderkey long"),
+            ["o_orderkey"],
+        )
