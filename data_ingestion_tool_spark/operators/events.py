@@ -578,6 +578,49 @@ GROUP BY user_id
 """
 
 
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count by day — the growth-curve metric.
+    COUNT(DISTINCT) doesn't decompose into window frames, so the
+    scalable rewrite is FIRST-SEEN: one user-keyed aggregate collapses
+    each user to their first active day (the big map-side reduction),
+    a |days|-row aggregate counts new users per day, and the running
+    total is a window over that tiny calendar — the only single-
+    partition step is |days|-sized by construction, never user-sized.
+    """
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    first_day = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily_new = first_day.groupBy(
+        F.col("first_day").cast("timestamp_ntz").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("total_users")
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(first_day AS TIMESTAMP) AS day, COUNT(*) AS new_users
+  FROM first_day GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS total_users
+FROM daily
+"""
+
+
 _SEQ_TOPK = 20
 
 
@@ -769,6 +812,10 @@ SPECS: list[QuerySpec] = [
               FREQUENT_EVENT_SEQUENCES_SQL,
               "top-k length-3 event sequences (PrefixSpan-lite)",
               ("events", "window", "ml")),
+    QuerySpec("cumulative_unique_users", cumulative_unique_users,
+              CUMULATIVE_UNIQUE_USERS_SQL,
+              "running distinct users via first-seen rewrite",
+              ("events", "window", "agg")),
     QuerySpec("event_value_anomalies", event_value_anomalies,
               EVENT_VALUE_ANOMALIES_SQL,
               "rolling z-score anomaly detection per user",
