@@ -50,8 +50,9 @@ _MODULES = [
 #: label_centroid_norms, embedding_dimension_stats, bm25_search,
 #: cooccurrence_pmi, source_vocab_overlap, doc_rolling_fingerprints,
 #: skyline_orders, self_join_blowup_estimate, time_weighted_avg_value,
-#: frequent_event_sequences, user_activity_similarity, and
-#: tpch_q2/q12/q16/q20.
+#: frequent_event_sequences, user_activity_similarity,
+#: weighted_doc_sample, cumulative_unique_users, and
+#: tpch_q2/q12/q16/q20 (nineteen oracle-paired round-3 queries).
 _FRONT = [
     # composed flagships (round-2 additions, never driver-checked)
     "corpus_prep_pipeline",
