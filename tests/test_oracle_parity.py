@@ -130,6 +130,7 @@ _TZ_SENSITIVE = [
         "user_activity_similarity",
         "time_weighted_avg_value",
         "frequent_event_sequences",
+        "cumulative_unique_users",
     )
     if REG[n].oracle is not None
 ]
