@@ -818,6 +818,81 @@ WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_T}
 """
 
 
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard a corpus owner reads before choosing a
+    dedup strategy: for each ORACLE-EXACT method (byte-exact digests,
+    3-gram Jaccard, asymmetric containment, verbatim spans), how many
+    documents would be dropped under the keep-lowest rule and what
+    corpus fraction that is.
+
+    Composed lazily from the existing operators (drop set = distinct
+    doc_b of each pair table; exact = docs − digests) into ONE plan —
+    four single-row aggregates unioned, each re-using its method's
+    capped/bounded shape; no collect, no new pair enumeration. The
+    engine-specific methods (MinHash/SimHash) are deliberately absent
+    so the report itself stays driver-hash-checkable."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # scalar dimension of the report, one tiny job
+
+    def frac(cnt):
+        return F.round(cnt.cast("double") / F.lit(float(n_docs)), 6)
+
+    exact_cnt = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("c")
+    )
+    rows = exact_cnt.select(
+        F.lit("exact").alias("method"),
+        F.col("c").alias("n_flagged"),
+        frac(F.col("c")).alias("frac_of_corpus"),
+    )
+    for name, builder in (
+        ("ngram_jaccard", dedup_ngram_jaccard),
+        ("containment", dedup_containment),
+        ("shared_spans", shared_span_pairs),
+    ):
+        cnt = builder(spark, sf_dir).agg(
+            F.countDistinct("doc_b").alias("c")
+        )
+        rows = rows.unionByName(
+            cnt.select(
+                F.lit(name).alias("method"),
+                F.col("c").alias("n_flagged"),
+                frac(F.col("c")).alias("frac_of_corpus"),
+            )
+        )
+    return rows
+
+
+def _count_doc_b(inner_sql: str) -> str:
+    return (
+        "SELECT CAST(COUNT(DISTINCT doc_b) AS BIGINT) FROM ("
+        + inner_sql
+        + ")"
+    )
+
+
+DEDUP_IMPACT_REPORT_SQL = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT 'exact' AS method,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_flagged,
+       ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) / (SELECT n_docs FROM n), 6)
+         AS frac_of_corpus
+FROM documents
+UNION ALL
+SELECT 'ngram_jaccard',
+       ({_count_doc_b(DEDUP_NGRAM_JACCARD_SQL)}),
+       ROUND(({_count_doc_b(DEDUP_NGRAM_JACCARD_SQL)}) / (SELECT n_docs FROM n), 6)
+UNION ALL
+SELECT 'containment',
+       ({_count_doc_b(DEDUP_CONTAINMENT_SQL)}),
+       ROUND(({_count_doc_b(DEDUP_CONTAINMENT_SQL)}) / (SELECT n_docs FROM n), 6)
+UNION ALL
+SELECT 'shared_spans',
+       ({_count_doc_b(SHARED_SPAN_PAIRS_SQL)}),
+       ROUND(({_count_doc_b(SHARED_SPAN_PAIRS_SQL)}) / (SELECT n_docs FROM n), 6)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL,
               "asymmetric containment pairs (subset-duplicate detector)",
@@ -844,4 +919,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_near_clusters", dedup_near_clusters, None,
               "near-dup clusters via iterative connected components",
               ("dedup",)),
+    QuerySpec("dedup_impact_report", dedup_impact_report,
+              DEDUP_IMPACT_REPORT_SQL,
+              "per-method dedup drop counts + corpus fractions",
+              ("dedup", "profiling")),
 ]
