@@ -893,7 +893,110 @@ SELECT 'shared_spans',
 """
 
 
+_LINE_W = 8  # tokens per pseudo-line (testdata docs are single-line; a
+# real corpus splits on '\n' instead — the dedup discipline is identical)
+
+
+def linewise_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus deduplication (the CCNet / RefinedWeb
+    discipline: drop every repeated line corpus-wide, keep its first
+    occurrence, reassemble documents from the surviving lines).
+    Testdata documents carry no newlines, so "lines" are aligned
+    {w}-token chunks — same pipeline shape, proxy boundary.
+
+    Keep rule (cross-engine deterministic): a line survives only in
+    the document/position with the lexicographically smallest
+    ``(doc_id, chunk_idx)`` over all its occurrences. Output is one
+    row per document: total/kept chunk counts, kept ratio, and the
+    text reassembled from surviving chunks in original order (empty
+    string if the whole document was boilerplate).
+
+    Scale shape: chunking is narrow (sequence + slice inside the
+    explode — no shuffle). The winner per line is a ``groupBy(line)
+    .min(struct(doc_id, idx))`` — PARTIAL+final hash-agg, so a
+    boilerplate line repeated 10⁹ times combines map-side to one row
+    per map task instead of flooding one reducer (the window-function
+    formulation the oracle uses would sort all occurrences of the
+    hottest line in a single task; the min-agg is the skew-immune
+    twin). The join back on ``line`` has exactly one winner row per
+    key, so AQE skew-split applies cleanly. Reassembly is one
+    ``doc_id`` hash-agg with ``array_sort(collect_list)`` state
+    bounded by document length. Three exchanges total, all on
+    uniform-or-combinable keys; nothing is ever pairwise."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(_LINE_W)))
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"))
+        .select(
+            "doc_id",
+            "i",
+            F.array_join(
+                F.slice("toks", ((F.col("i") - 1) * _LINE_W + 1).cast("int"), _LINE_W),
+                " ",
+            ).alias("line"),
+        )
+    )
+    winners = chunks.groupBy("line").agg(
+        F.min(F.struct("doc_id", "i")).alias("w")
+    )
+    kept = chunks.join(winners, "line").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("i") == F.col("w.i")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        (
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_ratio"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("i", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("deduped_text"),
+    )
+
+
+linewise_dedup.__doc__ = linewise_dedup.__doc__.format(w=_LINE_W)
+
+
+LINEWISE_DEDUP_SQL = rf"""
+WITH chunks AS (
+  SELECT doc_id, i,
+         array_to_string(toks[(i-1)*{_LINE_W}+1:(i-1)*{_LINE_W}+{_LINE_W}], ' ') AS line
+  FROM (SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       UNNEST(generate_series(1, CAST(ceil(len(toks) / {_LINE_W}.0) AS BIGINT)))
+         AS g(i)
+),
+ranked AS (
+  SELECT doc_id, i, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, i) AS rk
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (rk = 1) AS n_kept,
+       CAST(COUNT(*) FILTER (rk = 1) AS DOUBLE) / COUNT(*) AS kept_ratio,
+       COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, ' ' ORDER BY i), '')
+         AS deduped_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("linewise_dedup", linewise_dedup, LINEWISE_DEDUP_SQL,
+              "corpus-wide line dedup with document reassembly",
+              ("dedup", "text")),
     QuerySpec("dedup_containment", dedup_containment, DEDUP_CONTAINMENT_SQL,
               "asymmetric containment pairs (subset-duplicate detector)",
               ("dedup", "text")),
