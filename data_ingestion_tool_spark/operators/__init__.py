@@ -15,6 +15,7 @@ from __future__ import annotations
 from data_ingestion_tool_spark.operators import (
     dedup,
     events,
+    graph,
     ingest,
     multimodal,
     rangejoin,
@@ -28,7 +29,7 @@ from data_ingestion_tool_spark.operators.base import QuerySpec, build_registry
 
 _MODULES = [
     relational, events, text, dedup, similarity, multimodal, skew, ingest,
-    rangejoin, tpch,
+    rangejoin, tpch, graph,
 ]
 
 #: First-50 pin list (driver correctness window). Keep this at exactly

@@ -784,3 +784,29 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
         load_table(spark, sf, "documents").agg(F.avg("n_chars")).first()[0]
     )
     assert m_sample > m_corpus * 1.1
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """Fixed-point PageRank invariants: every node keeps a positive
+    integer rank, total mass stays within the integer-floor loss bound
+    of the initial 10**12 units (each iteration floors once per edge
+    contribution and twice per node), and the hub ordering is
+    deterministic across runs."""
+    from data_ingestion_tool_spark.operators.graph import (
+        _PR_SCALE,
+        pagerank_supply_graph,
+    )
+
+    out = pagerank_supply_graph(spark, SF_CORRECT)
+    agg = out.agg(
+        F.sum("r").alias("mass"),
+        F.min("r").alias("lo"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert agg["lo"] > 0
+    assert agg["mass"] <= _PR_SCALE
+    assert agg["mass"] >= int(_PR_SCALE * 0.999)
+    again = pagerank_supply_graph(spark, SF_CORRECT)
+    top1 = out.orderBy(F.desc("r"), "node").first()
+    top2 = again.orderBy(F.desc("r"), "node").first()
+    assert (top1["node"], top1["r"]) == (top2["node"], top2["r"])
