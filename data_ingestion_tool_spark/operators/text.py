@@ -1695,6 +1695,92 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring — the second-order sibling of
+    :func:`unigram_logprob_scores` (KenLM-style filters use n-gram
+    context; a bigram model already separates token-soup from fluent
+    text far better than unigrams): per-document average negative
+    log-probability under an add-one smoothed bigram model
+    ``P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`` estimated from the corpus
+    itself (``c(w1·)`` = bigram-context count, ``V`` = full corpus
+    vocabulary).
+
+    Scale shape: bigram construction is NARROW (``arrays_zip`` of two
+    shifted slices inside the explode — position pairing costs no
+    shuffle and no self-join). Model estimation is two partial+final
+    hash-aggs (bigram and context counts). Scoring joins the token
+    stream back to the model on its own group keys — one-row-per-key
+    build sides, so AQE skew-split handles hot bigrams — and the
+    1-row vocabulary size broadcasts. Per-doc reduction is one
+    ``doc_id`` hash-agg. Rounded to 4dp: per-doc float-sum wobble is
+    ~1e-13, inside the rounding guard (same convention as the unigram
+    scorer)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vn = (
+        d.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vn))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log(F.col("c2") + 1) - F.log(F.col("c1") + F.col("v"))
+            ).alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-F.col("s") / F.col("n_bigrams"), 4).alias("avg_nll"),
+    )
+
+
+BIGRAM_LOGPROB_SCORES_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM docs, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+), vn AS (
+  SELECT COUNT(DISTINCT term) AS v
+  FROM (SELECT doc_id, t.term
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+             UNNEST(toks) AS t(term)
+        WHERE t.term <> '')
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(-SUM(LN(c2 + 1) - LN(c1 + v)) / COUNT(*), 4) AS avg_nll
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vn
+GROUP BY doc_id
+"""
+
+
 UNIGRAM_LOGPROB_SCORES_SQL = rf"""
 WITH tokens AS (
   SELECT doc_id, t.term
@@ -2167,6 +2253,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("unigram_logprob_scores", unigram_logprob_scores,
               UNIGRAM_LOGPROB_SCORES_SQL,
               "unigram-LM perplexity-style quality scores (CCNet-shape)",
+              ("text", "llm")),
+    QuerySpec("bigram_logprob_scores", bigram_logprob_scores,
+              BIGRAM_LOGPROB_SCORES_SQL,
+              "add-one smoothed bigram-LM quality scores",
               ("text", "llm")),
     QuerySpec("text_semantic_dedup", text_semantic_dedup, None,
               "composed featurize → SemDeDup over the text corpus",

@@ -439,6 +439,7 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "dq_price_drift_psi",       # 1-row totals broadcast
         "corpus_prep_pipeline",     # 1-row mixing-totals broadcast
         "unigram_logprob_scores",   # 1-row n_total broadcast
+        "bigram_logprob_scores",    # 1-row vocab-size broadcast
         "rolling_weekly_active_users",  # |days|-row calendar broadcast
         "bm25_search",              # 1-row corpus-stats broadcast
         "cooccurrence_pmi",         # 1-row n_docs broadcast
