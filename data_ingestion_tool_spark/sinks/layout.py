@@ -538,3 +538,45 @@ def merge_upsert_where(
         "rows_updated": rows_updated,
         "rows_inserted": rows_inserted,
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    *,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED, bucket-sorted managed parquet table:
+    rows are hash-partitioned into ``n_buckets`` files per write-task
+    group by ``key`` and sorted by ``key`` inside each bucket, and the
+    bucket spec is recorded in the catalog.
+
+    This is the pre-paid shuffle: two tables bucketed identically on
+    their join key sort-merge-join with NO Exchange and NO per-query
+    Sort on either side — at 100 TB a nightly fact⋈fact reconciliation
+    that would otherwise shuffle both tables every run instead reads
+    co-located buckets. The same layout serves every subsequent
+    aggregation on ``key`` (no re-partitioning), amortizing one write
+    across every downstream query. Contract proven in
+    tests/test_layout.py::test_bucketed_join_plans_no_exchange.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)  # managed: lives under spark.sql.warehouse.dir
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket
+    key. The plan contains no Exchange (buckets are co-located by
+    construction) — the join is a zip of pre-sorted bucket files."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, key)

@@ -346,3 +346,33 @@ def test_dml_refuses_hive_partitioned_layout(spark, tmp_path):
             spark.createDataFrame([(1,)], "o_orderkey long"),
             ["o_orderkey"],
         )
+
+
+def test_bucketed_join_plans_no_exchange(spark):
+    """The pre-paid-shuffle contract: two tables written bucketed on
+    the same key sort-merge-join with ZERO Exchange and zero per-query
+    Sort (buckets are co-located and bucket-sorted by construction),
+    and the join result is exactly the plain-join result."""
+    from data_ingestion_tool_spark.sinks.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    o = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    try:
+        write_bucketed(o, "bkt_orders", "o_orderkey", n_buckets=4)
+        write_bucketed(li, "bkt_lineitem", "o_orderkey", n_buckets=4)
+        joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.join(li, "o_orderkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
