@@ -36,85 +36,72 @@ _MODULES = [
 #: the entries that need fresh driver rows; tests assert every name
 #: exists in the registry.
 #:
-#: ROUND-3 ROTATION (executed): CORRECTNESS_r01+r02 are cumulatively
-#: green for 92 distinct queries; this window pins 50 of the 52
-#: oracle-paired queries that have never had a driver row — the
-#: round-2 flagship tier (corpus_prep_pipeline, semantic_dedup,
-#: media_dedup_exact, mixing, dq_*, all ten tpch_q* and the
-#: point-in-time / span-dedup ops).
-#:
-#: ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands green, pin the
-#: two deferred entries (window_rank_extras, agg_string_concat — their
-#: window/agg families are already driver-green from r01) plus every
-#: oracle-paired query added in round 3 (all pre-verified at sf0.01
-#: AND sf0.1 locally): exact_user_reach, exact_top_terms,
-#: label_centroid_norms, embedding_dimension_stats, bm25_search,
-#: cooccurrence_pmi, source_vocab_overlap, doc_rolling_fingerprints,
-#: skyline_orders, self_join_blowup_estimate, time_weighted_avg_value,
-#: frequent_event_sequences, user_activity_similarity,
-#: weighted_doc_sample, cumulative_unique_users, and
-#: tpch_q2/q12/q16/q20 (nineteen oracle-paired round-3 queries).
+#: ROUND-4 ROTATION (executed): CORRECTNESS_r01-r03 are cumulatively
+#: green for 142 distinct queries with zero hash mismatches. This
+#: window pins (a) all 25 oracle-paired queries that have never had a
+#: driver row — the round-3 additions plus the two deferred r01-family
+#: entries — then (b) the 18 rows-only queries that have never had
+#: even a rows-only driver row (sketches, ANN variants, BPE, kmeans),
+#: then (c) new round-4 operators. After r04, every registry query
+#: has a cumulative driver row.
 _FRONT = [
-    # composed flagships (round-2 additions, never driver-checked)
-    "corpus_prep_pipeline",
+    # (a) oracle-paired, never driver-checked — round-3 additions
+    "skyline_orders",
+    "window_rank_extras",
+    "agg_string_concat",
+    "exact_user_reach",
+    "exact_top_terms",
+    "time_weighted_avg_value",
+    "frequent_event_sequences",
+    "cumulative_unique_users",
+    "bigram_logprob_scores",
+    "bm25_search",
+    "cooccurrence_pmi",
+    "source_vocab_overlap",
+    "doc_rolling_fingerprints",
+    "weighted_doc_sample",
+    "linewise_dedup",
+    "dedup_impact_report",
+    "label_centroid_norms",
+    "embedding_dimension_stats",
+    "user_activity_similarity",
+    "self_join_blowup_estimate",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q12_priority_shipping",
+    "tpch_q16_part_supplier_variety",
+    "tpch_q20_dominant_part_suppliers",
+    "pagerank_supply_graph",
+    # (b) rows-only by design, never driver-checked — the driver's
+    # weaker rows+schema check still puts an external row under them
+    "agg_approx_quantiles",
+    "sketch_user_reach",
+    "bpe_fit_merges",
+    "bpe_token_counts",
+    "text_semantic_dedup",
+    "embed_documents",
+    "heavy_hitter_terms",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_near_clusters",
+    "kmeans_labels",
+    "ann_lsh_topk",
+    "ann_quantized_topk",
+    "ann_ivf_topk",
+    "label_top_eigenvalue",
+    "embedding_outliers",
+    "media_near_dup_features",
+    "multimodal_prep_pipeline",
+    # (c) round-4 additions land here, displacing the regression
+    # re-checks below (queries whose shared kernels changed this
+    # round — semdedup group cap, blocked_cosine_pairs group_cols —
+    # plus flagships worth a fresh row)
     "semantic_dedup",
-    # dedup tier
-    "shared_span_pairs",
-    "dedup_containment",
-    "dedup_incremental",
-    # similarity / embeddings tier
-    "ann_filtered_topk",
-    "contrastive_negatives",
-    # text / LLM-pipeline tier
-    "unigram_logprob_scores",
-    "source_mixing_weights",
-    "temperature_mixed_sample",
-    "boilerplate_ngram_flags",
-    "doc_sample_balanced",
-    "vocab_oov_rate",
-    "source_token_entropy",
-    "length_bucketed_batches",
-    # data-quality audit tier
-    "dq_orphan_orders",
-    "dq_duplicate_linenumbers",
-    "dq_value_bounds",
-    "dq_price_drift_psi",
-    "profile_orders",
-    # multimodal
-    "media_metadata_stats",
-    "media_dedup_exact",
-    # events / temporal analytics
-    "event_transition_matrix",
-    "rolling_weekly_active_users",
-    "event_value_anomalies",
-    "user_retention_cohorts",
-    "value_histogram",
-    # range / as-of joins
-    "next_purchase_value",
-    "global_click_purchase_pairs",
-    "point_in_time_features",
-    # relational remainder
-    "equi_depth_histogram",
-    "important_part_stock",
-    "top_supplier_revenue",
-    "idle_rich_customers",
-    "orders_snapshot_diff",
-    "hierarchy_rollup_cte",
-    "winsorized_prices",
-    "agg_regression",
-    "join_key_skew_profile",
-    # TPC-H remainder
-    "tpch_q4_late_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_shape",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_last_shipper",
+    "embedding_near_dup",
+    "session_windows",
+    "corpus_prep_pipeline",
+    "dedup_ngram_jaccard",
+    "pricing_summary",
+    "validate_lineitem",
 ]
 
 

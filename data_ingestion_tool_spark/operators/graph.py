@@ -75,13 +75,19 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = deg.select(
             F.col("src").alias("node"), F.lit(_PR_SCALE // n_nodes).alias("r")
         )
-        for _ in range(_PR_ITERS):
+        for it in range(_PR_ITERS):
             sums = (
                 edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
                 .select("dst", F.expr("r div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
             )
+            # Intermediate checkpoints stay lazy; the FINAL one is
+            # eager so the whole 5-iteration chain evaluates here,
+            # inside the persist window — edges_deg materializes on
+            # iteration 1 and the other 4 read the cached blocks. The
+            # returned DataFrame then reads its own checkpointed
+            # blocks, independent of the (unpersisted) edge cache.
             ranks = (
                 deg.join(sums, deg.src == sums.dst, "left")
                 .select(
@@ -93,7 +99,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     ).alias("r"),
                 )
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=(it == _PR_ITERS - 1))
             )
         return ranks
     finally:

@@ -623,11 +623,13 @@ def blocked_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = NEAR_DUP_COSINE,
     n_blocks: int = _GRID_BLOCKS,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reusable grid-blocked exact all-pairs cosine ≥ ``threshold``
     kernel over any ``(id, vector)`` DataFrame — the 100 TB path when
-    NEITHER side fits a broadcast (shared by the embedding near-dup
-    and the activity-profile similarity operators).
+    NEITHER side fits a broadcast (shared by the embedding near-dup,
+    the activity-profile similarity, and — via ``group_cols`` — the
+    oversized-cluster branch of :func:`semdedup`).
 
     Rows are hashed into ``n_blocks`` row-blocks; every unordered
     block pair (i ≤ j) becomes one task group: each row is replicated
@@ -638,11 +640,18 @@ def blocked_cosine_pairs(
     blocks fit executor memory: total work is the same O(n²d) flops
     as the broadcast kernel, spread over n_blocks·(n_blocks+1)/2
     independent tasks.
+
+    ``group_cols`` restricts the pair search to rows sharing those
+    columns (e.g. a cluster label): grouping becomes
+    ``(*group_cols, bi, bj)``, so pairs never cross groups and one
+    task holds at most two blocks OF ONE GROUP.
     """
     import numpy as np
     import pandas as pd
 
-    emb = df.select(F.col(id_col).alias("vec_id"),
+    group_cols = list(group_cols or [])
+    emb = df.select(*group_cols,
+                    F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("embedding"))
     blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
     pair_structs = [
@@ -653,6 +662,7 @@ def blocked_cosine_pairs(
         for o in range(n_blocks)
     ]
     exploded = emb.withColumn("pair", F.explode(F.array(*pair_structs))).select(
+        *group_cols,
         F.col("pair.bi").alias("bi"), F.col("pair.bj").alias("bj"),
         "vec_id", "embedding",
     )
@@ -678,7 +688,7 @@ def blocked_cosine_pairs(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    return exploded.groupBy("bi", "bj").applyInPandas(
+    return exploded.groupBy(*group_cols, "bi", "bj").applyInPandas(
         kernel, "id_a long, id_b long"
     )
 
@@ -1099,6 +1109,10 @@ SELECT query_id, neg_id, rk FROM (
 
 _SEMDEDUP_K = 8
 _SEMDEDUP_COSINE = NEAR_DUP_COSINE
+#: Max rows a single pandas cluster-group may hold (64-dim float64 ≈
+#: 512 B/row → ~67 MB at the cap, comfortably inside one executor).
+#: Clusters above it route through the grid-blocked kernel.
+_CLUSTER_GROUP_CAP = 1 << 17
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,10 +1133,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the k×d centroid matrix broadcasts; assignment is one
     ``mapInPandas`` GEMM pass; the within-cluster pair search is
-    ``applyInPandas`` per cluster — one shuffle on the cluster key,
-    per-executor memory bounded by the largest cluster (at 100 TB you
-    raise k until clusters fit; the reduction in pair candidates is
-    N²→N²/k for balanced clusters).
+    ``applyInPandas`` per cluster — one shuffle on the cluster key —
+    with a HARD GROUP CAP: clusters larger than ``_CLUSTER_GROUP_CAP``
+    rows are auto-demoted to the grid-blocked no-broadcast kernel
+    (:func:`blocked_cosine_pairs` restricted to within-cluster
+    ``id_a < id_b``), so a skewed assignment can never hold an
+    unbounded fraction of N in one executor (the reduction in pair
+    candidates is N²→N²/k for balanced clusters either way).
     """
     return semdedup(_emb(spark, sf_dir).select("vec_id", "embedding"))
 
@@ -1137,6 +1154,7 @@ def semdedup(
     k: int = _SEMDEDUP_K,
     threshold: float = _SEMDEDUP_COSINE,
     centroid_source: DataFrame | None = None,
+    cluster_cap: int = _CLUSTER_GROUP_CAP,
 ) -> DataFrame:
     """The reusable SemDeDup kernel behind :func:`semantic_dedup` (and
     the text-side ``text_semantic_dedup``): any ``(id, embedding)``
@@ -1145,8 +1163,12 @@ def semdedup(
     are numbered. Centroids default to the k lowest-id vectors of
     ``df`` itself; pass ``centroid_source`` when a cheaper plan yields
     the same k rows (e.g. featurizing only the k docs instead of the
-    whole corpus — the centroid fetch is an eager bounded k-row job at
-    build time, the one materialization this operator performs)."""
+    whole corpus). Eager work at build time is bounded: the k-row
+    centroid fetch, an O(cluster_cap) limit-probe of the input, and —
+    only when the input exceeds the probe — one materialization of
+    the assignment so oversized clusters (> ``cluster_cap`` rows) can
+    be routed through the grid-blocked pair kernel instead of a
+    single unbounded pandas group."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -1214,9 +1236,68 @@ def semdedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
-        dedup_cluster, f"{id_col} long, cluster long, keep boolean"
+    out_schema = f"{id_col} long, cluster long, keep boolean"
+
+    # ---- size guard: no unbounded pandas group --------------------
+    # Limit-probe the INPUT (scans ≤ CAP+1 ids, O(cap) however large
+    # the table): if the whole table fits one group cap, no cluster
+    # can exceed it and the single-shuffle per-cluster path is safe.
+    probe = emb.select(id_col).limit(cluster_cap + 1).count()
+    if probe <= cluster_cap:
+        return assigned.groupBy("cluster").applyInPandas(
+            dedup_cluster, out_schema
+        )
+
+    # Oversized input: a skewed assignment (the common case for
+    # web-corpus embeddings) can concentrate a large fraction of N in
+    # one cluster, so the per-cluster group may not fit an executor.
+    # Materialize the assignment ONCE (eager localCheckpoint: both
+    # branches below read the checkpointed blocks, no recompute, no
+    # persist/unpersist lifetime hazard), measure cluster sizes (≤ k
+    # rows reach the driver), and route oversized clusters through the
+    # grid-blocked no-broadcast kernel restricted to within-cluster
+    # pairs — the same auto-demotion embedding_near_dup applies when
+    # the broadcast side outgrows its guard.
+    assigned = assigned.localCheckpoint(eager=True)
+    sizes = assigned.groupBy("cluster").count()
+    big = [
+        (int(r["cluster"]), int(r["count"]))
+        for r in sizes.filter(F.col("count") > cluster_cap).collect()
+    ]
+    if not big:
+        return assigned.groupBy("cluster").applyInPandas(
+            dedup_cluster, out_schema
+        )
+    big_ids = [c for c, _ in big]
+    max_big = max(n for _, n in big)
+    # one kernel task holds ≤ 2 blocks of one cluster; size n_blocks
+    # so that 2·max/n_blocks ≤ CAP
+    n_blocks = max(2, -(-2 * max_big // cluster_cap))
+    small_part = assigned.filter(~F.col("cluster").isin(big_ids))
+    big_part = assigned.filter(F.col("cluster").isin(big_ids))
+    pairs = blocked_cosine_pairs(
+        big_part,
+        id_col=id_col,
+        vec_col="embedding",
+        threshold=threshold,
+        n_blocks=n_blocks,
+        group_cols=["cluster"],
     )
+    # kernel emits id_a < id_b with cosine ≥ threshold ⇒ id_b is a dup
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    big_res = (
+        big_part.select(id_col, "cluster")
+        .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+    small_res = small_part.groupBy("cluster").applyInPandas(
+        dedup_cluster, out_schema
+    )
+    return small_res.unionByName(big_res)
 
 
 SEMANTIC_DEDUP_SQL = f"""

@@ -548,10 +548,19 @@ def write_bucketed(
     n_buckets: int = 8,
     mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as a BUCKETED, bucket-sorted managed parquet table:
-    rows are hash-partitioned into ``n_buckets`` files per write-task
-    group by ``key`` and sorted by ``key`` inside each bucket, and the
-    bucket spec is recorded in the catalog.
+    """Write ``df`` as a BUCKETED, bucket-sorted managed parquet table
+    with exactly ONE file per bucket.
+
+    Thin single-key facade over the canonical writer in
+    ``sinks.tables.write_bucketed`` (richer multi-column signature);
+    the extra step here is the ``repartition(n_buckets, key)`` before
+    the write: ``repartition`` and ``bucketBy`` use the same
+    Murmur3 HashPartitioning, so each write task holds exactly one
+    bucket and emits exactly one (sorted) file for it. One file per
+    bucket is the condition under which Spark trusts the on-disk sort
+    order and elides the per-query Sort below a sort-merge join — with
+    multiple sorted files per bucket it must re-sort (interleaving two
+    sorted files is not sorted).
 
     This is the pre-paid shuffle: two tables bucketed identically on
     their join key sort-merge-join with NO Exchange and NO per-query
@@ -562,12 +571,16 @@ def write_bucketed(
     across every downstream query. Contract proven in
     tests/test_layout.py::test_bucketed_join_plans_no_exchange.
     """
-    (
-        df.write.mode(mode)
-        .format("parquet")
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .saveAsTable(table)  # managed: lives under spark.sql.warehouse.dir
+    from data_ingestion_tool_spark.sinks.tables import (
+        write_bucketed as _write_bucketed_table,
+    )
+
+    _write_bucketed_table(
+        df.repartition(n_buckets, F.col(key)),
+        table,
+        bucket_cols=[key],
+        n_buckets=n_buckets,
+        sort_cols=[key],
     )
 
 
@@ -575,8 +588,25 @@ def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:
     """Join two identically-bucketed catalog tables on their bucket
-    key. The plan contains no Exchange (buckets are co-located by
-    construction) — the join is a zip of pre-sorted bucket files."""
-    lt = spark.table(left_table)
-    rt = spark.table(right_table)
+    key as a sort-merge join over co-located, pre-sorted buckets: the
+    plan contains no Exchange and (with one file per bucket, which
+    ``write_bucketed`` guarantees) no Sort.
+
+    The ``merge`` hint is load-bearing: without it, AQE happily picks
+    a BroadcastHashJoin whenever one side looks small — and a
+    broadcast join *disables bucketed scans entirely* ("Bucketed:
+    false (disabled by query planner)"), silently discarding the
+    pre-paid shuffle the caller wrote the layout for. At 100 TB
+    neither side is broadcastable, so forcing SMJ here makes the
+    local[32] plan the same shape as the cluster plan.
+
+    Sets ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (session-sticky; also a ``session.py`` default): Spark 3+ stopped
+    reporting bucket-sort order by default because it is only valid
+    with one file per bucket — which ``write_bucketed`` guarantees —
+    so with it on, the planner also elides the per-query Sort.
+    """
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    lt = spark.table(left_table).hint("merge")
+    rt = spark.table(right_table).hint("merge")
     return lt.join(rt, key)

@@ -436,6 +436,25 @@ def test_semantic_dedup_drops_are_real_near_dups(spark):
             assert has_dup == (not r["keep"]), r
 
 
+def test_semdedup_capped_path_matches_in_group_path(spark):
+    """Force the oversized-cluster branch (cluster_cap far below every
+    cluster size) and assert it returns EXACTLY the rows of the
+    default single-group path — the auto-demotion must change the
+    physical shape, never the answer."""
+    from data_ingestion_tool_spark.operators.similarity import _emb, semdedup
+
+    emb = _emb(spark, SF_CORRECT).select("vec_id", "embedding")
+    default = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semdedup(emb).collect()
+    }
+    capped = {
+        (r["vec_id"], r["cluster"], r["keep"])
+        for r in semdedup(emb, cluster_cap=37).collect()
+    }
+    assert default == capped and default
+
+
 def test_temperature_mixed_sample_hits_target(spark):
     """The deterministic sample must (a) be reproducible run-to-run,
     (b) keep small sources at a HIGHER rate than large ones (the

@@ -4,6 +4,7 @@ single-column sort, and compaction tracks on-disk bytes."""
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -372,6 +373,12 @@ def test_bucketed_join_plans_no_exchange(spark):
         joined = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # one file per bucket (write_bucketed repartitions by the
+        # bucket key first) => Spark trusts the on-disk sort and
+        # elides the per-query Sort below the SMJ (Sort nodes print
+        # as "Sort [key ASC ...]"; SortMergeJoin must not match)
+        assert not re.search(r"\bSort \[", plan), plan
         assert joined.count() == o.join(li, "o_orderkey").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")

@@ -556,3 +556,60 @@ def test_weighted_sample_is_partial_topk_not_global_sort(spark):
     rep = plan_report(df)
     assert rep.exchanges == 0
     assert rep.map_in_pandas == 0
+
+
+def test_every_grouped_pandas_site_is_bounded():
+    """Package-wide memory contract: every ``applyInPandas`` / grouped
+    pandas call site must belong to a function on the allowlist below,
+    each of which bounds its group size by construction:
+
+    - ``label_top_eigenvalue`` — groups hold ≤ #partitions pre-agg'd
+      (d+d²)-double moment rows per label, never raw vectors
+    - ``blocked_cosine_pairs`` — one group = two hash blocks; callers
+      size n_blocks so two blocks fit an executor
+    - ``semdedup`` — per-cluster groups run only under the
+      ``cluster_cap`` limit-probe; oversized clusters auto-demote to
+      the blocked kernel
+    - ``running_user_totals_stream`` — per-key streaming state, one
+      micro-batch of one key per invocation
+
+    A new ``applyInPandas`` site fails here by default until its
+    author documents why the group is bounded and adds it.
+    """
+    import ast
+    import os
+
+    import data_ingestion_tool_spark as pkg
+
+    BOUNDED = {
+        ("operators/similarity.py", "label_top_eigenvalue"),
+        ("operators/similarity.py", "blocked_cosine_pairs"),
+        ("operators/similarity.py", "semdedup"),
+        ("streaming/streams.py", "running_user_totals_stream"),
+    }
+    root = os.path.dirname(pkg.__file__)
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            tree = ast.parse(open(path).read())
+
+            def walk(node, fname):
+                for child in ast.iter_child_nodes(node):
+                    nf = fname
+                    if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        nf = child.name
+                    if (
+                        isinstance(child, ast.Call)
+                        and isinstance(child.func, ast.Attribute)
+                        and child.func.attr
+                        in ("applyInPandas", "applyInPandasWithState")
+                    ):
+                        found.add((rel, fname))
+                    walk(child, nf)
+
+            walk(tree, "<module>")
+    assert found <= BOUNDED, f"unreviewed grouped-pandas sites: {found - BOUNDED}"

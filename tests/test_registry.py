@@ -100,3 +100,17 @@ def test_bench_diff_reads_both_formats(tmp_path):
     # a (1.0 -> 2.0) regresses beyond 1.3x -> exit 1
     assert bench_diff.main([str(raw), str(wrapped)]) == 1
     assert bench_diff.main([str(raw), str(wrapped), "--flag", "3.0"]) == 0
+
+
+def test_survey_registry_coverage_line_matches_live_registry():
+    """SURVEY.md §2 carries a machine-readable registry-coverage line;
+    it must track the live registry so §2 can't silently drift from
+    the code again (round-3 verdict ask)."""
+    with open(os.path.join(REPO, "SURVEY.md")) as fh:
+        doc = fh.read()
+    m = re.search(r"registry-coverage: (\d+) queries, (\d+) oracle-checked", doc)
+    assert m, "SURVEY.md registry-coverage line missing"
+    reg = registry()
+    n_oracle = sum(1 for s in reg.values() if s.oracle)
+    assert int(m.group(1)) == len(reg), "update SURVEY.md registry-coverage line"
+    assert int(m.group(2)) == n_oracle, "update SURVEY.md registry-coverage line"
