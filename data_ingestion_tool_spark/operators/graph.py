@@ -44,16 +44,8 @@ _PR_ITERS = 5
 _PR_D_NUM, _PR_D_DEN = 85, 100
 
 
-def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five damped PageRank iterations over the undirected (symmetric
-    directed) customer↔supplier graph: an edge links customer ``c`` and
-    supplier ``s`` when any of ``c``'s orders contains a line supplied
-    by ``s``. Returns every node's final integer rank mass — the
-    centrality ranking a buyer-graph health report starts from.
-
-    Update rule (all BIGINT):
-    ``r'(v) = (15·SCALE) div (100·n) + (85 · Σ_{u→v} r(u) div deg(u)) div 100``.
-    """
+def _supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Symmetric (edges, out-degree) of the customer↔supplier graph."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -68,6 +60,50 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return edges, deg
+
+
+def _pr_iteration(
+    edges_deg: DataFrame, deg: DataFrame, ranks: DataFrame, teleport: int
+) -> DataFrame:
+    """One lazy PageRank step (pre-checkpoint) — factored out so the
+    per-iteration plan shape is plan-assertable in tests: one hash
+    join on src, one dst hash-agg (partial+final), one left join back
+    onto the node set, zero Python stages, zero cartesians."""
+    sums = (
+        edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("r div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    return deg.join(sums, deg.src == sums.dst, "left").select(
+        F.col("src").alias("node"),
+        (
+            F.lit(teleport)
+            + F.expr(f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN}")
+        ).alias("r"),
+    )
+
+
+def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five damped PageRank iterations over the undirected (symmetric
+    directed) customer↔supplier graph: an edge links customer ``c`` and
+    supplier ``s`` when any of ``c``'s orders contains a line supplied
+    by ``s``. Returns every node's final integer rank mass — the
+    centrality ranking a buyer-graph health report starts from.
+
+    Update rule (all BIGINT):
+    ``r'(v) = (15·SCALE) div (100·n) + (85 · Σ_{u→v} r(u) div deg(u)) div 100``.
+    """
+    edges, deg = _supply_graph(spark, sf_dir)
+    # BOTH per-iteration inputs are cached: edges_deg feeds the src
+    # join, deg feeds the node-set left join — uncached, the deg
+    # subtree (fact join + distinct + agg) would recompute once per
+    # iteration at evaluation time. deg.count() (needed for the
+    # teleport constant anyway) materializes deg's cache up front;
+    # edges_deg materializes on iteration 1 of the final eager
+    # evaluation.
+    deg = deg.persist()
     edges_deg = edges.join(deg, "src").persist()
     try:
         n_nodes = deg.count()
@@ -76,34 +112,19 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("node"), F.lit(_PR_SCALE // n_nodes).alias("r")
         )
         for it in range(_PR_ITERS):
-            sums = (
-                edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
-                .select("dst", F.expr("r div deg").alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("s"))
-            )
             # Intermediate checkpoints stay lazy; the FINAL one is
             # eager so the whole 5-iteration chain evaluates here,
             # inside the persist window — edges_deg materializes on
             # iteration 1 and the other 4 read the cached blocks. The
             # returned DataFrame then reads its own checkpointed
             # blocks, independent of the (unpersisted) edge cache.
-            ranks = (
-                deg.join(sums, deg.src == sums.dst, "left")
-                .select(
-                    F.col("src").alias("node"),
-                    (
-                        F.lit(teleport)
-                        + F.expr(
-                            f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN}"
-                        )
-                    ).alias("r"),
-                )
-                .localCheckpoint(eager=(it == _PR_ITERS - 1))
+            ranks = _pr_iteration(edges_deg, deg, ranks, teleport).localCheckpoint(
+                eager=(it == _PR_ITERS - 1)
             )
         return ranks
     finally:
         edges_deg.unpersist()
+        deg.unpersist()
 
 
 def _pagerank_sql() -> str:

@@ -829,3 +829,59 @@ def test_pagerank_mass_conserved_and_positive(spark):
     top1 = out.orderBy(F.desc("r"), "node").first()
     top2 = again.orderBy(F.desc("r"), "node").first()
     assert (top1["node"], top1["r"]) == (top2["node"], top2["r"])
+
+
+# sf0.1 values of the exact sketch-twins, pinned as constants. These
+# are the rows the round-4 driver correctness gate verifies for
+# `exact_user_reach` / `exact_top_terms` (both in the driver window);
+# once that lands, the sketch bounds below are anchored to
+# DRIVER-CONFIRMED exacts, not to a locally recomputed baseline.
+_EXACT_USER_REACH_SF01 = {  # event_type -> (exact_users, n_days)
+    "signup": (1500, 30),
+    "click": (1500, 30),
+    "purchase": (1500, 30),
+    "view": (1500, 30),
+    "error": (1500, 30),
+}
+_EXACT_TOP_TERMS_SF01 = {  # term -> exact count (top 5 of 24)
+    "spark": 9182,
+    "window": 9159,
+    "merge": 9157,
+    "table": 9144,
+    "column": 9127,
+}
+
+
+def test_sketch_user_reach_tracks_pinned_exact_twin_at_sf01(spark):
+    """HLL reach at sf0.1 within 5% of the `exact_user_reach` twin's
+    pinned values (see constants above), covering every event type."""
+    from data_ingestion_tool_spark.operators import registry
+
+    est = {
+        r["event_type"]: (r["est_users"], r["n_days"])
+        for r in registry()["sketch_user_reach"]
+        .builder(spark, "/root/testdata/sf0.1")
+        .collect()
+    }
+    assert set(est) == set(_EXACT_USER_REACH_SF01)
+    for et, (n_exact, d_exact) in _EXACT_USER_REACH_SF01.items():
+        n_est, n_days = est[et]
+        assert n_days == d_exact, et
+        assert abs(n_est - n_exact) / n_exact <= 0.05, (et, n_est, n_exact)
+
+
+def test_heavy_hitters_track_pinned_exact_twin_at_sf01(spark):
+    """Misra-Gries at sf0.1 vs the `exact_top_terms` twin's pinned
+    values: every pinned top term survives the sketch, and its
+    estimate never exceeds the exact count (MG underestimates)."""
+    from data_ingestion_tool_spark.operators import registry
+
+    est = {
+        r["term"]: r["est_count"]
+        for r in registry()["heavy_hitter_terms"]
+        .builder(spark, "/root/testdata/sf0.1")
+        .collect()
+    }
+    for term, n_exact in _EXACT_TOP_TERMS_SF01.items():
+        assert term in est, term
+        assert est[term] <= n_exact, (term, est[term], n_exact)

@@ -613,3 +613,43 @@ def test_every_grouped_pandas_site_is_bounded():
 
             walk(tree, "<module>")
     assert found <= BOUNDED, f"unreviewed grouped-pandas sites: {found - BOUNDED}"
+
+
+def test_pagerank_iteration_is_bounded_shuffle_jvm_only(spark):
+    """One PageRank step (the unit the 5-iteration loop repeats,
+    pre-checkpoint) must be pure JVM (no Python stages), never
+    enumerate pairs, and shuffle only on the join/agg keys — the
+    per-iteration cost that holds at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.graph import (
+        _pr_iteration,
+        _supply_graph,
+    )
+
+    edges, deg = _supply_graph(spark, SF_CORRECT)
+    # model the operator's cached inputs (both are persisted there):
+    # checkpointing makes the iteration's OWN work visible instead of
+    # the graph-construction subtrees
+    deg = deg.localCheckpoint(eager=True)
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
+    step = _pr_iteration(edges_deg, deg, ranks, 42)
+    rep = plan_report(step)
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+    assert rep.nested_loop_joins == 0
+    # src-join (both sides keyed), dst hash-agg, node left-join —
+    # four key-partitioned shuffles of rank/degree-sized rows, never
+    # a pair enumeration or a Python stage
+    assert rep.exchanges <= 4, rep
+
+
+def test_bigram_lm_scores_via_broadcast_model_no_fact_smj(spark):
+    """The bigram-LM scorer joins the (bounded, realized-counts-only)
+    model tables back onto the corpus bigram stream as BROADCASTS —
+    the corpus side must never sort-merge-shuffle on a model key."""
+    df = REG["bigram_logprob_scores"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.sort_merge_joins == 0, rep
+    assert rep.broadcast_hash_joins + rep.nested_loop_joins >= 2, rep
+    assert rep.grouped_pandas == 0 and rep.map_in_pandas == 0
