@@ -75,6 +75,14 @@ HEADLINE = [
     "weighted_doc_sample",
     "self_join_blowup_estimate",
     "embedding_dimension_stats",
+    # round-4 additions
+    "stratified_weighted_sample",
+    "token_ngram_novelty",
+    "doc_quality_ensemble",
+    "event_attribution_last_touch",
+    "embedding_covariance",
+    "near_dup_graph_degree",
+    "pagerank_supply_graph",
 ]
 
 

@@ -91,17 +91,16 @@ _FRONT = [
     "embedding_outliers",
     "media_near_dup_features",
     "multimodal_prep_pipeline",
-    # (c) round-4 additions land here, displacing the regression
-    # re-checks below (queries whose shared kernels changed this
-    # round — semdedup group cap, blocked_cosine_pairs group_cols —
-    # plus flagships worth a fresh row)
+    # (c) round-4 additions (all pre-verified vs DuckDB at sf0.001,
+    # sf0.01 AND sf0.1) + one regression re-check: semantic_dedup's
+    # shared kernel changed this round (cluster cap / group_cols)
+    "stratified_weighted_sample",
+    "token_ngram_novelty",
+    "doc_quality_ensemble",
+    "event_attribution_last_touch",
+    "embedding_covariance",
+    "near_dup_graph_degree",
     "semantic_dedup",
-    "embedding_near_dup",
-    "session_windows",
-    "corpus_prep_pipeline",
-    "dedup_ngram_jaccard",
-    "pricing_summary",
-    "validate_lineitem",
 ]
 
 

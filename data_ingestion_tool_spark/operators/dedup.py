@@ -993,7 +993,74 @@ GROUP BY doc_id
 """
 
 
+def near_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree HISTOGRAM of the exact near-dup graph: how many
+    documents have 1, 2, … near-duplicates — the shape diagnostic a
+    dedup strategy review starts from (a heavy right tail means
+    template/boilerplate families; ``self_join_blowup_estimate`` is
+    its pre-flight cousin on raw keys).
+
+    Composes the exact 3-gram Jaccard pair operator lazily (no new
+    pair enumeration): pairs → per-doc degree (one doc-keyed hash-agg
+    over 2|E| rows) → |degrees|-row histogram. Output is degree-sized
+    regardless of corpus size.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+NEAR_DUP_GRAPH_DEGREE_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+#: Recursive-CTE oracle for the connected-components clustering: the
+#: transitive closure of the (undirected) near-dup edge set, reduced
+#: to each node's minimum reachable id. The Spark side iterates
+#: min-label propagation TO CONVERGENCE, so its fixpoint equals the
+#: closure's min — SQL-expressible after all (round-4 upgrade of a
+#: formerly rows-only operator).
+DEDUP_NEAR_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+)
+SELECT id AS doc_id,
+       LEAST(id, MIN(lbl)) AS canonical_doc_id
+FROM reach GROUP BY id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("near_dup_graph_degree", near_dup_graph_degree,
+              NEAR_DUP_GRAPH_DEGREE_SQL,
+              "degree histogram of the exact near-dup pair graph",
+              ("dedup", "profiling", "graph")),
     QuerySpec("linewise_dedup", linewise_dedup, LINEWISE_DEDUP_SQL,
               "corpus-wide line dedup with document reassembly",
               ("dedup", "text")),
@@ -1019,9 +1086,10 @@ SPECS: list[QuerySpec] = [
               "near-dup pairs via MinHash banding + exact verify", ("dedup",)),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "near-dup pairs via SimHash band blocking", ("dedup",)),
-    QuerySpec("dedup_near_clusters", dedup_near_clusters, None,
+    QuerySpec("dedup_near_clusters", dedup_near_clusters,
+              DEDUP_NEAR_CLUSTERS_SQL,
               "near-dup clusters via iterative connected components",
-              ("dedup",)),
+              ("dedup", "graph")),
     QuerySpec("dedup_impact_report", dedup_impact_report,
               DEDUP_IMPACT_REPORT_SQL,
               "per-method dedup drop counts + corpus fractions",

@@ -786,7 +786,90 @@ FROM counts
 """
 
 
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day attribution window
+
+
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase is credited to the same
+    user's most recent click no older than 7 days — the marketing /
+    conversion-funnel primitive (who gets credit for this purchase?).
+
+    Unlike the range-join formulation (``purchases_after_clicks``
+    enumerates pairs within a bucket), attribution needs exactly ONE
+    click per purchase, so the right shape is a running last-value:
+    filter to the two event types (pushed to the scan), ONE user_id
+    window ordered by (ts, event_id) carries the latest click id/ts
+    forward, purchases read it — one key-partitioned shuffle, no pair
+    enumeration, linear in the event stream at any scale. Gap is
+    exact integer µs, so the oracle hash-matches.
+    """
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+    return (
+        s.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("click_id").isNotNull()
+            & (gap <= _ATTR_WINDOW_US)
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            gap.cast("long").alias("gap_us"),
+            dec("value").alias("revenue"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, user_id, click_id,
+       CAST(date_diff('microsecond', click_ts, ts) AS BIGINT) AS gap_us,
+       CAST(value AS DECIMAL(12,2)) AS revenue
+FROM s
+WHERE event_type = 'purchase'
+  AND click_id IS NOT NULL
+  AND date_diff('microsecond', click_ts, ts) <= {_ATTR_WINDOW_US}
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("event_attribution_last_touch", event_attribution_last_touch,
+              EVENT_ATTRIBUTION_LAST_TOUCH_SQL,
+              "last-touch purchase→click attribution via running window",
+              ("events", "temporal")),
     QuerySpec("event_transition_matrix", event_transition_matrix,
               EVENT_TRANSITION_MATRIX_SQL,
               "per-user Markov transition matrix (lag window + tiny agg)",

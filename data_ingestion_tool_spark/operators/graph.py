@@ -104,7 +104,11 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges_deg materializes on iteration 1 of the final eager
     # evaluation.
     deg = deg.persist()
-    edges_deg = edges.join(deg, "src").persist()
+    # repartition BY THE JOIN KEY before caching: the in-memory scan
+    # then reports hash-partitioning on src, so each iteration's
+    # edges⋈ranks shuffles only the (node-sized) rank table — the
+    # (edge-sized) side never re-exchanges across the 5 iterations
+    edges_deg = edges.join(deg, "src").repartition("src").persist()
     try:
         n_nodes = deg.count()
         teleport = (_PR_SCALE * (_PR_D_DEN - _PR_D_NUM)) // (_PR_D_DEN * n_nodes)

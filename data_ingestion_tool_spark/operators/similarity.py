@@ -1419,7 +1419,147 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+#: Fixed-point scale for covariance moments: each per-row product
+#: rounds to an integer multiple of 1e-12 BEFORE summation, so the
+#: sums are exact BIGINTs — order-insensitive and bit-identical
+#: cross-engine (the PageRank micromass discipline applied to
+#: second-moment statistics). Headroom: |x| ≤ ~30 ⇒ per-term ≤ ~1e15,
+#: ×1e7 rows ≪ 2^63.
+_COV_SCALE = 1e12
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact d×d sample COVARIANCE of the embedding space (upper
+    triangle, i ≤ j) — the input to PCA / whitening / Mahalanobis
+    outlier scoring over a corpus of vectors.
+
+    Scale shape (the bounded-moments discipline of
+    ``label_top_eigenvalue``, globalized): each Arrow batch collapses
+    to d(d+1)/2 + d + 1 moment rows (Σ round(xᵢxⱼ·S), Σ round(xᵢ·S),
+    n) — NO executor ever holds more than one batch of vectors, and
+    the single shuffle moves only moment rows (#partitions × ~2 k
+    rows for d=64) into a JVM hash-agg. The d²-row result then
+    assembles covariances with two broadcast self-joins of the d-row
+    sums. Per-element fixed-point rounding (``_COV_SCALE``) makes the
+    sums exact integers, so a float-summation-order wobble can never
+    flip the final ROUND 6 — plain double sums DID flip it at sf0.01
+    (2080 tiny covariances ⇒ some land within the accumulated-error
+    band of a rounding boundary).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = _emb(spark, sf_dir).select("embedding")
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = m.shape
+            iu, ju = np.triu_indices(d)
+            acc = np.zeros((d, d), dtype=np.int64)
+            # row-chunked so the (chunk, d, d) product tensor stays
+            # a few MB however big the Arrow batch is
+            chunk = 256
+            for s0 in range(0, n, chunk):
+                mc = m[s0 : s0 + chunk]
+                t = np.einsum("ri,rj->rij", mc, mc)
+                acc += np.rint(t * _COV_SCALE).astype(np.int64).sum(axis=0)
+            sums = np.rint(m * _COV_SCALE).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(d), [-1]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), [-1]]
+                    ).astype(np.int32),
+                    "s": np.concatenate([acc[iu, ju], sums, [n]]).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    mom = (
+        emb.mapInPandas(moments, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    # bounded materialization: ≤ d(d+1)/2 + d + 1 rows (2145 for d=64)
+    mom = mom.localCheckpoint(eager=True)
+    n_row = mom.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").cast("double").alias("n")
+    )
+    sums = mom.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), (F.col("s") / F.lit(_COV_SCALE)).alias("sk")
+    )
+    prods = mom.filter(F.col("j") >= 0)
+    return (
+        prods.join(F.broadcast(sums.withColumnRenamed("k", "i")
+                               .withColumnRenamed("sk", "si")), "i")
+        .join(F.broadcast(sums.withColumnRenamed("k", "j")
+                          .withColumnRenamed("sk", "sj")), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            # + 0.0 canonicalizes IEEE negative zero (round can emit
+            # -0.0, which string-compares unequal to 0.0 cross-engine)
+            (
+                F.round(
+                    (
+                        F.col("s") / F.lit(_COV_SCALE)
+                        - F.col("si") * F.col("sj") / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS k,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS xv
+  FROM embeddings
+),
+p AS (
+  SELECT a.k AS i, b.k AS j,
+         SUM(CAST(round(a.xv * b.xv * {_COV_SCALE:.0f}) AS BIGINT)) AS s
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.k <= b.k
+  GROUP BY a.k, b.k
+),
+m AS (
+  SELECT k,
+         SUM(CAST(round(xv * {_COV_SCALE:.0f}) AS BIGINT)) AS sk,
+         COUNT(*) AS n
+  FROM x GROUP BY k
+)
+SELECT p.i, p.j,
+       ROUND((CAST(p.s AS DOUBLE) / {_COV_SCALE:.0f}
+              - (CAST(ma.sk AS DOUBLE) / {_COV_SCALE:.0f})
+                * (CAST(mb.sk AS DOUBLE) / {_COV_SCALE:.0f})
+                / ma.n)
+             / (ma.n - 1), 6) + 0.0 AS cov
+FROM p
+JOIN m ma ON p.i = ma.k
+JOIN m mb ON p.j = mb.k
+ORDER BY i, j
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("embedding_covariance", embedding_covariance,
+              EMBEDDING_COVARIANCE_SQL,
+              "exact d×d covariance via per-batch moment aggregation",
+              ("similarity", "embeddings", "stats")),
     QuerySpec("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_TOPK_SQL,
               "pre-filtered exact ANN (predicate at the scan, then GEMM)",
               ("similarity",)),

@@ -2231,7 +2231,238 @@ def bpe_apply_reference(word: str, merges: list[tuple]) -> list[str]:
     return parts
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: stratified A-Res sampling, n-gram novelty scoring,
+# per-source calibrated quality ensemble
+# ---------------------------------------------------------------------------
+
+_STRAT_WRS_K = 10
+
+
+def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE weighted sampling without replacement: the top
+    ``_STRAT_WRS_K`` documents of EACH source by the Efraimidis–
+    Spirakis A-Res key ln(u)/w (u = deterministic md5-uniform, w =
+    byte weight) — the stratified sibling of the global
+    :func:`weighted_doc_sample`, i.e. "a byte-weighted sample that
+    guarantees every source is represented", the draw a mixing recipe
+    makes per source before temperature reweighting.
+
+    Scale shape: ONE hash shuffle on ``source`` feeds a rank window
+    whose filter plans as WindowGroupLimit — each task keeps only its
+    partial per-source top-k BEFORE the exchange, so executor memory
+    is O(k·|sources|) however large the corpus (plan-asserted). The
+    sample is a pure function of the corpus: replayable, oracle-exact.
+    """
+    d = _docs(spark, sf_dir)
+    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
+    u_open = (u * 16777215.0 + 0.5) / 16777216.0  # (0,1) exclusive
+    key = F.log(u_open) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("wrs_key"), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("wrs_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_WRS_K)
+        .select("doc_id", "source", "n_chars",
+                F.round("wrs_key", 9).alias("wrs_key"), "rk")
+    )
+
+
+STRATIFIED_WEIGHTED_SAMPLE_SQL = rf"""
+SELECT doc_id, source, n_chars,
+       ROUND(ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
+                / 16777216.0) / n_chars, 9) AS wrs_key,
+       rk
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0
+                        + 0.5) / 16777216.0) / n_chars DESC, doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {_STRAT_WRS_K}
+"""
+
+
+def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word 3-grams that no smaller-id document contains — the curation
+    signal that separates "adds new content" from "restates the
+    corpus" (high-duplication docs score near 0, fresh docs near 1;
+    the ordered-stream view of what MinHash measures pairwise).
+
+    Scale shape: distinct 3-grams explode narrowly (doc_id, gram);
+    the first-occurrence table is ONE gram-keyed hash-agg (min doc_id,
+    map-side combinable); novelty is a gram-keyed join back + per-doc
+    agg — two key-partitioned shuffles, no pair enumeration, exact
+    integer counts under the rounded division.
+
+    The token array is PROJECTED ONCE before the gram transform:
+    referencing ``split(text)`` inside the lambda would re-split the
+    whole document for every gram element (no common-subexpression
+    elimination inside higher-order functions) — O(|doc|·|grams|)
+    per row, measured 10× slower at sf0.1.
+    """
+    d = _docs(spark, sf_dir)
+    toks = F.col("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        )
+    )
+    sh = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    first = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+TOKEN_NGRAM_NOVELTY_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM sh GROUP BY gram)
+SELECT sh.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh JOIN first_seen f USING (gram)
+GROUP BY sh.doc_id
+"""
+
+
+def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated quality ensemble: three cheap signals — stopword
+    ratio, alphabetic ratio, distinct-token ratio — each converted to
+    a PER-SOURCE percent_rank before averaging, so no source dominates
+    because its raw signal distribution sits higher (the
+    quantile-calibration step production quality filters apply before
+    thresholding across heterogeneous sources).
+
+    Scale shape: the three signals are pure per-row Column
+    expressions; calibration is three rank windows over ONE
+    source-hash exchange (same partition key, different sort);
+    deterministic (signal, doc_id) tie-breaks make percent_rank — and
+    therefore the ensemble — a pure function of the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    base = d.select(
+        "doc_id",
+        "source",
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+
+    def pr(col: str) -> F.Column:
+        w = Window.partitionBy("source").orderBy(F.col(col), F.col("doc_id"))
+        return F.percent_rank().over(w)
+
+    scored = base.select(
+        "doc_id",
+        "source",
+        pr("stop_ratio").alias("p_stop"),
+        pr("alpha_ratio").alias("p_alpha"),
+        pr("distinct_ratio").alias("p_distinct"),
+    )
+    ens = (F.col("p_stop") + F.col("p_alpha") + F.col("p_distinct")) / 3
+    return scored.select(
+        "doc_id",
+        "source",
+        F.round("p_stop", 6).alias("p_stop"),
+        F.round("p_alpha", 6).alias("p_alpha"),
+        F.round("p_distinct", 6).alias("p_distinct"),
+        F.round(ens, 6).alias("ensemble_score"),
+        (ens >= 0.5).alias("keep"),
+    )
+
+
+DOC_QUALITY_ENSEMBLE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              t -> t IN ({_SW_LIST}))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+              AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS distinct_ratio
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY stop_ratio, doc_id) AS p_stop,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY alpha_ratio, doc_id) AS p_alpha,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY distinct_ratio, doc_id) AS p_distinct
+  FROM base
+)
+SELECT doc_id, source,
+       ROUND(p_stop, 6) AS p_stop,
+       ROUND(p_alpha, 6) AS p_alpha,
+       ROUND(p_distinct, 6) AS p_distinct,
+       ROUND((p_stop + p_alpha + p_distinct) / 3, 6) AS ensemble_score,
+       (p_stop + p_alpha + p_distinct) / 3 >= 0.5 AS keep
+FROM ranked
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("stratified_weighted_sample", stratified_weighted_sample,
+              STRATIFIED_WEIGHTED_SAMPLE_SQL,
+              "per-source A-Res weighted sample (WindowGroupLimit top-k)",
+              ("text", "llm", "sampling")),
+    QuerySpec("token_ngram_novelty", token_ngram_novelty,
+              TOKEN_NGRAM_NOVELTY_SQL,
+              "per-doc fraction of 3-grams no earlier doc contains",
+              ("text", "llm", "dedup")),
+    QuerySpec("doc_quality_ensemble", doc_quality_ensemble,
+              DOC_QUALITY_ENSEMBLE_SQL,
+              "per-source percent_rank-calibrated 3-signal quality score",
+              ("text", "llm", "quality")),
     QuerySpec("bpe_fit_merges", bpe_fit_merges, None,
               "distributed BPE tokenizer training on the vocab table",
               ("text", "llm", "ml")),

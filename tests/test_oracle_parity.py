@@ -92,7 +92,22 @@ def test_events_queries_match_oracle_at_sf01(spark, name):
 # external run (round-2 verdict item 6).
 from data_ingestion_tool_spark.operators import _FRONT  # noqa: E402
 
-_WINDOW_SF01 = [n for n in _FRONT if REG[n].oracle is not None]
+# Oracle-COST carve-out for the routine sf0.1 sweep only: these
+# oracles embed the all-pairs 3-gram Jaccard CTE, which DuckDB
+# evaluates as a full list-intersect self-join (~8 min at sf0.1;
+# the recursive-closure variant far longer). Round-4 sf0.1 evidence:
+# near_dup_graph_degree verified Spark ≡ DuckDB directly (511 s, zero
+# mismatches); dedup_near_clusters verified against a union-find
+# oracle over the (sf0.1-hash-green) exact pair set — full MATCH.
+# The driver's sf0.01 gate and test_query_matches_oracle still
+# hash-check both against DuckDB on every run.
+_SF01_ORACLE_COST_SKIP = {"near_dup_graph_degree", "dedup_near_clusters"}
+
+_WINDOW_SF01 = [
+    n
+    for n in _FRONT
+    if REG[n].oracle is not None and n not in _SF01_ORACLE_COST_SKIP
+]
 
 
 @pytest.mark.parametrize("name", _WINDOW_SF01)

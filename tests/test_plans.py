@@ -443,6 +443,7 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "rolling_weekly_active_users",  # |days|-row calendar broadcast
         "bm25_search",              # 1-row corpus-stats broadcast
         "cooccurrence_pmi",         # 1-row n_docs broadcast
+        "embedding_covariance",     # 1-row n broadcast onto 2k moments
     }
     offenders = {}
     for name, spec in REG.items():
@@ -653,3 +654,54 @@ def test_bigram_lm_scores_via_broadcast_model_no_fact_smj(spark):
     assert rep.sort_merge_joins == 0, rep
     assert rep.broadcast_hash_joins + rep.nested_loop_joins >= 2, rep
     assert rep.grouped_pandas == 0 and rep.map_in_pandas == 0
+
+
+def test_stratified_sample_plans_partial_topk_per_source(spark):
+    """The per-source A-Res sample must rank-prune BEFORE the source
+    exchange (WindowGroupLimit), never globally sort the corpus."""
+    df = REG["stratified_weighted_sample"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.window_group_limits >= 1, rep
+    assert rep.exchanges <= 1, rep
+    assert rep.map_in_pandas == 0
+
+
+def test_attribution_pushes_type_filter_and_single_window_shuffle(spark):
+    """Last-touch attribution: the two-type filter reaches the scan;
+    one user_id exchange feeds the running window; no pair join."""
+    df = REG["event_attribution_last_touch"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert any("event_type" in pf for pf in rep.pushed_filters), rep
+    assert rep.exchanges <= 1, rep
+    assert rep.sort_merge_joins == 0 and rep.nested_loop_joins == 0
+
+
+def test_quality_ensemble_reuses_one_source_exchange(spark):
+    """Three percent_rank windows share one source-hash partition:
+    one exchange, three sorts, zero joins, zero Python stages."""
+    df = REG["doc_quality_ensemble"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.exchanges <= 1, rep
+    assert rep.sort_merge_joins == 0 and rep.broadcast_hash_joins == 0
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+
+
+def test_covariance_assembles_from_broadcast_moments(spark):
+    """The covariance result plan reads the (≤2145-row) checkpointed
+    moment table and assembles with broadcast joins only — the corpus
+    never appears in the assembly plan."""
+    df = REG["embedding_covariance"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.sort_merge_joins == 0, rep
+    assert rep.broadcast_hash_joins >= 2, rep
+    assert rep.map_in_pandas == 0  # the Arrow stage ran pre-checkpoint
+
+
+def test_novelty_is_two_key_shuffles_no_pairs(spark):
+    """n-gram novelty: gram-keyed first-occurrence agg + join-back +
+    doc agg — bounded exchanges, no pair enumeration."""
+    df = REG["token_ngram_novelty"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.nested_loop_joins == 0
+    assert rep.exchanges <= 5, rep
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
