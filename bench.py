@@ -83,6 +83,9 @@ HEADLINE = [
     "embedding_covariance",
     "near_dup_graph_degree",
     "pagerank_supply_graph",
+    "grouped_price_elasticity",
+    "market_basket_brand_pairs",
+    "embedding_pca_scores",
 ]
 
 

@@ -2283,7 +2283,140 @@ GROUP BY 1
 """
 
 
+def grouped_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount — the grouped
+    regression a pricing team runs per product family ("how much does
+    a point of discount move volume for THIS brand?"), the grouped
+    sibling of the global ``agg_regression``.
+
+    Cross-engine exactness: the OLS moments (Σx, Σy, Σxy, Σx², n) are
+    EXACT DECIMAL sums — discount and quantity are 2-decimal money
+    columns, their products are exact decimals, and decimal addition
+    is order-insensitive — so the final slope division starts from
+    bit-identical inputs in both engines and ROUND 6 cannot flip
+    (float moment sums would wobble with partition order).
+
+    Scale shape: brand rides a broadcast dim join onto the fact scan;
+    the moments are ONE partial+final hash-agg (5 decimal sums per
+    brand); slope arithmetic is per-group projection on ~25 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = dec("l_discount")
+    y = dec("l_quantity")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") / F.col("n")), 6
+        ).alias("mean_qty"),
+    ).orderBy("p_brand")
+
+
+GROUPED_PRICE_ELASTICITY_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(l_discount AS DECIMAL(12,2))) AS sx,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+         SUM(CAST(l_discount AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
+         SUM(CAST(l_discount AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS sxx
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+       ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_qty
+FROM m ORDER BY p_brand
+"""
+
+
+_BASKET_TOP_K = 20
+
+
+def market_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top brand PAIRS bought together
+    in one order — the support table an association-rule miner starts
+    from (frequent-itemset mining, k=2).
+
+    Scale shape: brands ride a broadcast dim join; each order
+    collapses to its sorted DISTINCT brand set (bounded by |brands| ≈
+    25, one order-keyed agg); pairs expand IN-ROW from the sorted
+    array (flatten of slice-transforms — fan-out ≤ C(|brands|,2) per
+    order, never a self-join of the fact table); pair counts are one
+    map-side-combinable hash-agg over ≤ C(25,2) keys; top-k is
+    TakeOrderedAndProject with a full lexicographic tie-break.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    arr = F.col("brands")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(_BASKET_TOP_K)
+    )
+
+
+MARKET_BASKET_BRAND_PAIRS_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT x.p_brand AS brand_a, y.p_brand AS brand_b,
+       COUNT(*) AS n_orders
+FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                 AND x.p_brand < y.p_brand
+GROUP BY x.p_brand, y.p_brand
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT {_BASKET_TOP_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("grouped_price_elasticity", grouped_price_elasticity,
+              GROUPED_PRICE_ELASTICITY_SQL,
+              "per-brand OLS slope from exact decimal moments",
+              ("agg", "stats")),
+    QuerySpec("market_basket_brand_pairs", market_basket_brand_pairs,
+              MARKET_BASKET_BRAND_PAIRS_SQL,
+              "top co-purchased brand pairs via in-row pair expansion",
+              ("agg", "mining")),
     QuerySpec("orders_customers_full", orders_customers_full,
               ORDERS_CUSTOMERS_FULL_SQL, "full outer join", ("join",)),
     QuerySpec("equi_depth_histogram", equi_depth_histogram,

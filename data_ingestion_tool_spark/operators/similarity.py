@@ -1555,11 +1555,68 @@ ORDER BY i, j
 """
 
 
+def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection: every embedding's coordinates along the top-2
+    principal axes of the corpus — the 2-D map a curation UI plots and
+    the whitening step dimensionality reduction starts from. Composes
+    :func:`embedding_covariance`'s exact moment machinery: covariance
+    assembles on the driver (a bounded d×d = 32 KB collect), one
+    eigensolve there, then the two eigenvectors BROADCAST back and
+    every vector projects in one Arrow-batched GEMM pass — the model
+    is KBs, the corpus never re-shuffles.
+
+    Rows-only by design: eigenvector SIGN is arbitrary (λ-eigenspace
+    symmetry), so scores are deterministic only up to per-axis sign —
+    canonicalized here (first nonzero component positive) for
+    run-to-run reproducibility, but not stated as portable SQL.
+    Invariants pytested instead: per-axis score variance equals the
+    eigenvalue, axes are uncorrelated, projections reproduce.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()  # ≤ d² rows
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    axes = vecs[:, ::-1][:, :2].T.copy()  # top-2 eigenvectors, rows
+    for k in range(axes.shape[0]):  # sign canonicalization
+        nz = np.flatnonzero(np.abs(axes[k]) > 1e-12)
+        if len(nz) and axes[k, nz[0]] < 0:
+            axes[k] = -axes[k]
+    bc = spark.sparkContext.broadcast(axes)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scores = m @ a.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "pc1": np.round(scores[:, 0], 6),
+                    "pc2": np.round(scores[:, 1], 6),
+                }
+            )
+
+    return _emb(spark, sf_dir).select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc1 double, pc2 double"
+    )
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("embedding_covariance", embedding_covariance,
               EMBEDDING_COVARIANCE_SQL,
               "exact d×d covariance via per-batch moment aggregation",
               ("similarity", "embeddings", "stats")),
+    QuerySpec("embedding_pca_scores", embedding_pca_scores, None,
+              "top-2 PCA projection via broadcast eigenvectors",
+              ("similarity", "embeddings", "ml")),
     QuerySpec("ann_filtered_topk", ann_filtered_topk, ANN_FILTERED_TOPK_SQL,
               "pre-filtered exact ANN (predicate at the scan, then GEMM)",
               ("similarity",)),

@@ -885,3 +885,33 @@ def test_heavy_hitters_track_pinned_exact_twin_at_sf01(spark):
     for term, n_exact in _EXACT_TOP_TERMS_SF01.items():
         assert term in est, term
         assert est[term] <= n_exact, (term, est[term], n_exact)
+
+
+def test_pca_scores_variance_matches_eigenvalues(spark):
+    """PCA invariants: per-axis score variance equals the covariance
+    matrix's top eigenvalues (within rounding), the two axes are
+    uncorrelated, pc1 carries at least as much variance as pc2, and
+    the projection is reproducible run-to-run."""
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        embedding_covariance,
+        embedding_pca_scores,
+    )
+
+    rows = embedding_pca_scores(spark, SF_CORRECT).collect()
+    again = embedding_pca_scores(spark, SF_CORRECT).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    s = np.array([(r["pc1"], r["pc2"]) for r in rows])
+    cov_rows = embedding_covariance(spark, SF_CORRECT).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    v1, v2 = s[:, 0].var(ddof=1), s[:, 1].var(ddof=1)
+    assert abs(v1 - vals[0]) <= 1e-3 * max(vals[0], 1e-9), (v1, vals[0])
+    assert abs(v2 - vals[1]) <= 1e-3 * max(vals[1], 1e-9), (v2, vals[1])
+    assert v1 >= v2
+    r12 = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
+    assert abs(r12) < 0.05, r12
