@@ -86,6 +86,7 @@ HEADLINE = [
     "grouped_price_elasticity",
     "market_basket_brand_pairs",
     "embedding_pca_scores",
+    "concurrent_sessions",
 ]
 
 

@@ -331,7 +331,157 @@ FROM (
 """
 
 
+#: Interval-join bucket width (µs): 1 hour. Sessions replicate to the
+#: buckets they span; fan-out is bounded by session duration / width.
+_CONC_BUCKET_US = 3_600 * 1_000_000
+_CONC_GAP = "10 minutes"
+
+
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN: for every user session, how many OTHER
+    users had a session overlapping it in time — the concurrency /
+    capacity-planning question ("how many users are on at once?")
+    asked at session granularity.
+
+    Sessions are the 10-minute-gap islands of ``session_windows``
+    ([min_ts, max_ts] closed intervals). The overlap join is the
+    keyless-interval sibling of ``bucketed_range_join``: each session
+    replicates to the 1-hour buckets it spans (``sequence`` +
+    ``explode``, fan-out ≤ duration/width + 1), candidates equi-join
+    on the bucket, and each overlapping pair is emitted EXACTLY ONCE
+    — only in bucket ``greatest(floor(a.start), floor(b.start))``,
+    the first bucket both occupy — so no distinct over the pair
+    stream is ever needed. At 100 TB the bucket key shards the join
+    across executors and a pair is tested in one task only; a naive
+    interval self-join would be a cartesian.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag_us = F.lag(_epoch_us(e, "ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        _epoch_us(e, "ts").alias("ts_us"),
+        F.when(
+            lag_us.isNull()
+            | (_epoch_us(e, "ts") - lag_us >= 600 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts_us",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    exploded = sessions.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {_CONC_BUCKET_US}"),
+                F.expr(f"e_us div {_CONC_BUCKET_US}"),
+            )
+        ).alias("bucket"),
+    )
+    a = exploded.select(
+        F.col("user_id").alias("a_user"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+        "bucket",
+    )
+    o = exploded.select(
+        F.col("user_id").alias("b_user"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+        "bucket",
+    )
+    pairs = a.join(o, "bucket").filter(
+        (F.col("a_user") != F.col("b_user"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        # exactly-once: only the first bucket both sessions occupy
+        & (
+            F.col("bucket")
+            == F.greatest(
+                F.expr(f"a_s div {_CONC_BUCKET_US}"),
+                F.expr(f"b_s div {_CONC_BUCKET_US}"),
+            )
+        )
+    )
+    counts = pairs.groupBy("a_user", "a_s").agg(
+        F.countDistinct("b_user").alias("n_concurrent_users")
+    )
+    return (
+        sessions.join(
+            counts,
+            (sessions.user_id == counts.a_user) & (sessions.s_us == counts.a_s),
+            "left",
+        )
+        .select(
+            "user_id",
+            # tz-independent NTZ reconstruction (timestamp_micros is
+            # LTZ and would shift under a foreign session timezone)
+            F.expr(
+                "timestampadd(MICROSECOND, s_us,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("session_start"),
+            F.coalesce("n_concurrent_users", F.lit(0)).alias(
+                "n_concurrent_users"
+            ),
+        )
+    )
+
+
+CONCURRENT_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+), counts AS (
+  SELECT a.user_id, a.s,
+         COUNT(DISTINCT b.user_id) AS n_concurrent_users
+  FROM sessions a JOIN sessions b
+    ON a.user_id <> b.user_id AND a.s <= b.e AND b.s <= a.e
+  GROUP BY a.user_id, a.s
+)
+SELECT s.user_id, s.s AS session_start,
+       CAST(COALESCE(c.n_concurrent_users, 0) AS BIGINT)
+         AS n_concurrent_users
+FROM sessions s
+LEFT JOIN counts c ON s.user_id = c.user_id AND s.s = c.s
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "concurrent_sessions",
+        concurrent_sessions,
+        CONCURRENT_SESSIONS_SQL,
+        "interval-overlap join: per-session concurrent-user counts",
+        ("join", "timeseries", "events"),
+    ),
     QuerySpec(
         "next_purchase_value",
         next_purchase_value,

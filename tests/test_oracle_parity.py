@@ -146,6 +146,9 @@ _TZ_SENSITIVE = [
         "time_weighted_avg_value",
         "frequent_event_sequences",
         "cumulative_unique_users",
+        # round-4 date/time-touching additions
+        "event_attribution_last_touch",
+        "concurrent_sessions",
     )
     if REG[n].oracle is not None
 ]

@@ -705,3 +705,14 @@ def test_novelty_is_two_key_shuffles_no_pairs(spark):
     assert rep.nested_loop_joins == 0
     assert rep.exchanges <= 5, rep
     assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+
+
+def test_concurrent_sessions_interval_join_is_bucketed(spark):
+    """The interval-overlap join must be a bucket equi-join (shuffle
+    on the bucket key), never a cartesian/nested-loop over sessions,
+    with the session build as plain windows — all JVM."""
+    df = REG["concurrent_sessions"].builder(spark, SF_CORRECT)
+    rep = plan_report(df)
+    assert rep.nested_loop_joins == 0, rep
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+    assert rep.generates >= 1  # the bucket explode
