@@ -321,3 +321,69 @@ def test_rolling_fingerprint_matches_pure_python(spark, docs):
 
     for i, toks in enumerate(docs):
         assert got[i] == ref(toks), (i, toks)
+
+
+_SETOPS = {
+    # name -> (spark combiner, SQL keyword)
+    "union_all": (lambda a, b: a.unionAll(b), "UNION ALL"),
+    "union": (lambda a, b: a.union(b).distinct(), "UNION"),
+    "intersect": (lambda a, b: a.intersect(b), "INTERSECT"),
+    "intersect_all": (lambda a, b: a.intersectAll(b), "INTERSECT ALL"),
+    "except": (lambda a, b: a.subtract(b), "EXCEPT"),
+    "except_all": (lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+}
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@st.composite
+def setop_specs(draw):
+    return {
+        "op": draw(st.sampled_from(sorted(_SETOPS))),
+        "prio_a": draw(st.sampled_from(_PRIOS)),
+        "price_b": draw(st.integers(min_value=1, max_value=300)) * 1000,
+        "k": draw(st.integers(min_value=1, max_value=50)),
+    }
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_specs())
+def test_fuzzed_setop_pipeline_matches_duckdb(spark, spec):
+    """Random set-op pipelines: two filtered projections of orders
+    combined via every UNION/INTERSECT/EXCEPT [ALL] variant, then a
+    deterministic ORDER BY + LIMIT — exercising bag-vs-set semantics,
+    duplicate multiplicity, and the sort/limit compilation path with
+    one property instead of six hand-written oracle queries."""
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    a = o.filter(F.col("o_orderpriority") == spec["prio_a"])
+    b = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_totalprice") <= spec["price_b"])
+        .select("o_orderkey", "o_orderpriority")
+    )
+    combine, kw = _SETOPS[spec["op"]]
+    sdf = (
+        combine(a, b).orderBy("o_orderkey", "o_orderpriority").limit(spec["k"])
+    )
+    sql = f"""
+    SELECT * FROM (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderpriority = '{spec["prio_a"]}'
+      {kw}
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice <= {spec["price_b"]}
+    ) ORDER BY o_orderkey, o_orderpriority LIMIT {spec["k"]}
+    """
+    con = make_duck(SF_SMOKE)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
