@@ -44,6 +44,16 @@ _MODULES = [
 #: even a rows-only driver row (sketches, ANN variants, BPE, kmeans),
 #: then (c) new round-4 operators. After r04, every registry query
 #: has a cumulative driver row.
+#:
+#: ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green, pin the
+#: five oracle-paired queries that landed after this window was
+#: sealed (all pre-verified vs DuckDB at sf0.001/0.01/0.1, two also
+#: under a foreign-tz session): grouped_price_elasticity,
+#: market_basket_brand_pairs, concurrent_sessions, and the rows-only
+#: embedding_pca_scores; fill the rest with regression re-checks of
+#: long-unchecked r01 families. (dedup_near_clusters needs no slot:
+#: it sits in this window and its recursive-CTE oracle landed before
+#: the r04 driver run, so its r04 row is already hash-checked.)
 _FRONT = [
     # (a) oracle-paired, never driver-checked — round-3 additions
     "skyline_orders",
