@@ -87,6 +87,7 @@ HEADLINE = [
     "market_basket_brand_pairs",
     "embedding_pca_scores",
     "concurrent_sessions",
+    "seasonal_value_anomalies",
 ]
 
 

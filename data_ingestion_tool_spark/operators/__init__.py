@@ -49,7 +49,8 @@ _MODULES = [
 #: five oracle-paired queries that landed after this window was
 #: sealed (all pre-verified vs DuckDB at sf0.001/0.01/0.1, two also
 #: under a foreign-tz session): grouped_price_elasticity,
-#: market_basket_brand_pairs, concurrent_sessions, and the rows-only
+#: market_basket_brand_pairs, concurrent_sessions,
+#: seasonal_value_anomalies, and the rows-only
 #: embedding_pca_scores; fill the rest with regression re-checks of
 #: long-unchecked r01 families. (dedup_near_clusters needs no slot:
 #: it sits in this window and its recursive-CTE oracle landed before

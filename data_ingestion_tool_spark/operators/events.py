@@ -865,7 +865,100 @@ WHERE event_type = 'purchase'
 """
 
 
+def seasonal_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-baseline anomaly detection: flag events whose value
+    sits > 3 standard deviations from the mean of their (event_type,
+    hour-of-day) cell — the diurnal-pattern monitor ("is this value
+    odd *for 3 AM*?"), complementing ``event_value_anomalies``'s
+    per-user rolling window with a global seasonal profile.
+
+    Cross-engine exactness: the baseline moments (n, Σv, Σv²) are
+    EXACT DECIMAL sums per cell (value is a 2-decimal money column),
+    so mean/std and every z-score derive from bit-identical inputs in
+    both engines — a float-moment baseline could flip the |z| > 3
+    boundary.
+
+    Scale shape: one partial+final hash-agg builds the ≤ |types|·24
+    -row baseline; it broadcasts back onto the scan (the model-join
+    pattern — events never shuffle); the output is only anomalies.
+    """
+    e = _events(spark, sf_dir)
+    hod = F.hour(F.col("ts").cast("timestamp_ntz"))
+    v = dec("value")
+    base = (
+        e.select("event_type", hod.alias("hod"), v.alias("v"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+    )
+    mean = F.col("sv").cast("double") / F.col("n")
+    var = (
+        F.col("svv").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    model = base.select(
+        "event_type",
+        "hod",
+        "n",
+        mean.alias("mean_v"),
+        F.sqrt(var).alias("std_v"),
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        hod.alias("hod"),
+        v.cast("double").alias("value"),
+    ).join(F.broadcast(model), ["event_type", "hod"])
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return scored.filter(
+        (F.col("n") >= 30) & (F.col("std_v") > 0) & (F.abs(z) > 3)
+    ).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value",
+        F.round(z, 6).alias("z"),
+    )
+
+
+SEASONAL_VALUE_ANOMALIES_SQL = """
+WITH base AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+         SUM(CAST(value AS DECIMAL(12,2))
+             * CAST(value AS DECIMAL(12,2))) AS svv
+  FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+), model AS (
+  SELECT event_type, hod, n,
+         CAST(sv AS DOUBLE) / n AS mean_v,
+         sqrt((CAST(svv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+              / (n - 1)) AS std_v
+  FROM base
+)
+SELECT e.event_id, e.event_type,
+       CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
+       CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+       ROUND((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - m.mean_v)
+             / m.std_v, 6) AS z
+FROM events e
+JOIN model m ON e.event_type = m.event_type
+            AND EXTRACT(hour FROM e.ts) = m.hod
+WHERE m.n >= 30 AND m.std_v > 0
+  AND abs((CAST(CAST(e.value AS DECIMAL(12,2)) AS DOUBLE) - m.mean_v)
+          / m.std_v) > 3
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("seasonal_value_anomalies", seasonal_value_anomalies,
+              SEASONAL_VALUE_ANOMALIES_SQL,
+              "hour-of-day baseline z-score anomalies (broadcast model)",
+              ("events", "timeseries", "quality")),
     QuerySpec("event_attribution_last_touch", event_attribution_last_touch,
               EVENT_ATTRIBUTION_LAST_TOUCH_SQL,
               "last-touch purchase→click attribution via running window",

@@ -149,6 +149,7 @@ _TZ_SENSITIVE = [
         # round-4 date/time-touching additions
         "event_attribution_last_touch",
         "concurrent_sessions",
+        "seasonal_value_anomalies",
     )
     if REG[n].oracle is not None
 ]
