@@ -352,6 +352,13 @@ def connected_components(
     loop exits on a converged count. Near-dup clusters are shallow
     (diameter ≪ 20), so rounds ≈ cluster diameter, not |V|.
 
+    If ``max_iters`` rounds pass WITHOUT convergence (a component
+    whose propagation distance from its min id exceeds the budget —
+    e.g. a >20-link template-edit chain), this RAISES rather than
+    silently returning non-canonical labels: the recursive-CTE oracle
+    computes the true closure, and downstream dedup decisions must
+    never run on a half-propagated labeling.
+
     vertices: one column ``id``; edges: columns ``src``, ``dst``.
     """
     labels = vertices.select(
@@ -388,8 +395,13 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} "
+        "iterations — a component's propagation distance exceeds the "
+        "budget; raise max_iters rather than consuming half-propagated "
+        "labels"
+    )
 
 
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -895,10 +895,20 @@ def seasonal_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean = F.col("sv").cast("double") / F.col("n")
-    var = (
-        F.col("svv").cast("double")
-        - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
-    ) / (F.col("n") - 1)
+    # GREATEST(.., 0): a constant-valued cell has true variance 0, but
+    # the double rounding of sv²/n vs svv can land at -1e-10 — Spark
+    # sqrt(neg) yields NaN (silently filtered) while DuckDB sqrt(neg)
+    # hard-errors, so an unclamped oracle ABORTS on such data
+    var = F.greatest(
+        (
+            F.col("svv").cast("double")
+            - F.col("sv").cast("double")
+            * F.col("sv").cast("double")
+            / F.col("n")
+        )
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
     model = base.select(
         "event_type",
         "hod",
@@ -935,9 +945,9 @@ WITH base AS (
 ), model AS (
   SELECT event_type, hod, n,
          CAST(sv AS DOUBLE) / n AS mean_v,
-         sqrt((CAST(svv AS DOUBLE)
+         sqrt(GREATEST((CAST(svv AS DOUBLE)
                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
-              / (n - 1)) AS std_v
+              / (n - 1), 0)) AS std_v
   FROM base
 )
 SELECT e.event_id, e.event_type,

@@ -650,10 +650,18 @@ def blocked_cosine_pairs(
     import pandas as pd
 
     group_cols = list(group_cols or [])
+    # Block on a HASH of the id, not the raw id: pmod(vec_id, n) maps
+    # structured id schemes (all-even ids, strided ids after an
+    # upstream filter) onto a strict subset of blocks, collapsing the
+    # grid and un-bounding the per-task group — exactly the hazard
+    # this kernel exists to bound. The row's own block rides along as
+    # a column because the kernel can't recompute xxhash64 in numpy.
     emb = df.select(*group_cols,
                     F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).alias("embedding"))
-    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+                    F.col(vec_col).alias("embedding"),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                    .cast("int").alias("blk"))
+    blk = F.col("blk")
     pair_structs = [
         F.struct(
             F.least(blk, F.lit(o)).alias("bi"),
@@ -664,7 +672,7 @@ def blocked_cosine_pairs(
     exploded = emb.withColumn("pair", F.explode(F.array(*pair_structs))).select(
         *group_cols,
         F.col("pair.bi").alias("bi"), F.col("pair.bj").alias("bj"),
-        "vec_id", "embedding",
+        "vec_id", "embedding", "blk",
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -674,7 +682,7 @@ def blocked_cosine_pairs(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         m = m / norms
-        side_i = (ids % n_blocks) == bi
+        side_i = pdf["blk"].to_numpy() == bi
         if bi == bj:
             scores = m @ m.T
             ia, ib = np.nonzero(scores >= threshold)
@@ -1421,11 +1429,19 @@ SELECT query_id, neighbor_id, rank FROM (
 
 #: Fixed-point scale for covariance moments: each per-row product
 #: rounds to an integer multiple of 1e-12 BEFORE summation, so the
-#: sums are exact BIGINTs — order-insensitive and bit-identical
+#: sums are exact integers — order-insensitive and bit-identical
 #: cross-engine (the PageRank micromass discipline applied to
-#: second-moment statistics). Headroom: |x| ≤ ~30 ⇒ per-term ≤ ~1e15,
-#: ×1e7 rows ≪ 2^63.
+#: second-moment statistics). Headroom (enforced by the
+#: ``_COV_MAX_ABS`` guard): |x| ≤ 10 ⇒ per-term ≤ 1e14; one Arrow
+#: batch (≤ ~10⁴ rows) accumulates in int64 at ≤ 1e18 < 2⁶³; ACROSS
+#: batches the per-batch rows are summed as DECIMAL(38,0) (Spark) /
+#: HUGEINT (DuckDB), so total row count is unbounded — a raw
+#: SUM(BIGINT) on the Spark side would wrap silently under non-ANSI
+#: semantics while DuckDB promotes, a silent cross-engine divergence.
 _COV_SCALE = 1e12
+#: Reject vectors outside the int64 headroom analysis instead of
+#: silently wrapping a batch accumulator.
+_COV_MAX_ABS = 10.0
 
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,11 +1468,26 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir).select("embedding")
 
+    def _half_away(x: "np.ndarray") -> "np.ndarray":
+        # round-half-AWAY-from-zero, matching DuckDB's round();
+        # np.rint is half-to-even, and at scaled magnitudes ~1e12 the
+        # double grid (ulp ≈ 2e-4) makes exact half-integers common
+        # enough (~1/2048 of products) that the two modes measurably
+        # diverge — the exact wobble fixed-point exists to remove
+        return np.trunc(x + np.copysign(0.5, x))
+
     def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            peak = float(np.abs(m).max()) if m.size else 0.0
+            if peak > _COV_MAX_ABS:
+                raise ValueError(
+                    f"embedding component magnitude {peak:.3g} exceeds "
+                    f"the fixed-point headroom bound {_COV_MAX_ABS}; "
+                    "rescale the vectors or lower _COV_SCALE"
+                )
             n, d = m.shape
             iu, ju = np.triu_indices(d)
             acc = np.zeros((d, d), dtype=np.int64)
@@ -1466,8 +1497,8 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s0 in range(0, n, chunk):
                 mc = m[s0 : s0 + chunk]
                 t = np.einsum("ri,rj->rij", mc, mc)
-                acc += np.rint(t * _COV_SCALE).astype(np.int64).sum(axis=0)
-            sums = np.rint(m * _COV_SCALE).astype(np.int64).sum(axis=0)
+                acc += _half_away(t * _COV_SCALE).astype(np.int64).sum(axis=0)
+            sums = _half_away(m * _COV_SCALE).astype(np.int64).sum(axis=0)
             yield pd.DataFrame(
                 {
                     "i": np.concatenate(
@@ -1485,7 +1516,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = (
         emb.mapInPandas(moments, "i int, j int, s long")
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        # DECIMAL(38,0) accumulation: non-ANSI SUM(long) would wrap
+        # silently past 2^63 while the DuckDB oracle promotes to
+        # HUGEINT — decimal sums stay exact at any row count
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
     )
     # bounded materialization: ≤ d(d+1)/2 + d + 1 rows (2145 for d=64)
     mom = mom.localCheckpoint(eager=True)

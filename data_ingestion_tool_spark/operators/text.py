@@ -1414,6 +1414,28 @@ def _md5_uniform_expr(key_sql: str, *, duck: bool) -> str:
 _WRS_K = 50
 
 
+def _ares_key_col() -> F.Column:
+    """THE Efraimidis–Spirakis A-Res sort key, defined once:
+    ln(u)/w with u the deterministic md5-uniform draw shifted to the
+    OPEN interval (0,1) (ln must never see zero on either engine) and
+    w the byte weight. Both samplers (global ``weighted_doc_sample``,
+    per-source ``stratified_weighted_sample``) and both SQL oracles
+    (via :func:`_ares_key_sql`) derive from this single definition so
+    the draw cannot drift between call sites."""
+    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
+    u_open = (u * 16777215.0 + 0.5) / 16777216.0  # (0,1) exclusive
+    return F.log(u_open) / F.col("n_chars")
+
+
+def _ares_key_sql() -> str:
+    """DuckDB restatement of :func:`_ares_key_col` — same constants,
+    same shift, same weight column."""
+    return (
+        f"ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)"
+        " / 16777216.0) / n_chars"
+    )
+
+
 def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     A-Res): k documents drawn with probability proportional to their
@@ -1428,11 +1450,9 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver, no shuffle of the corpus. u is shifted to (0,1) so
     ln() never sees zero on either engine."""
     d = _docs(spark, sf_dir)
-    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
-    u_open = (u * 16777215.0 + 0.5) / 16777216.0  # (0,1) exclusive
-    key = F.log(u_open) / F.col("n_chars")
     return (
-        d.select("doc_id", "source", "n_chars", key.alias("wrs_key"))
+        d.select("doc_id", "source", "n_chars",
+                 _ares_key_col().alias("wrs_key"))
         .orderBy(F.desc("wrs_key"), "doc_id")
         .limit(_WRS_K)
         .select("doc_id", "source", "n_chars",
@@ -1442,11 +1462,9 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WEIGHTED_DOC_SAMPLE_SQL = rf"""
 SELECT doc_id, source, n_chars,
-       ROUND(ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
-                / 16777216.0) / n_chars, 9) AS wrs_key
+       ROUND({_ares_key_sql()}, 9) AS wrs_key
 FROM documents
-ORDER BY ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
-            / 16777216.0) / n_chars DESC, doc_id
+ORDER BY {_ares_key_sql()} DESC, doc_id
 LIMIT {_WRS_K}
 """
 
@@ -2255,12 +2273,10 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample is a pure function of the corpus: replayable, oracle-exact.
     """
     d = _docs(spark, sf_dir)
-    u = F.expr(_md5_uniform_expr("doc_id", duck=False))
-    u_open = (u * 16777215.0 + 0.5) / 16777216.0  # (0,1) exclusive
-    key = F.log(u_open) / F.col("n_chars")
     w = Window.partitionBy("source").orderBy(F.desc("wrs_key"), "doc_id")
     return (
-        d.select("doc_id", "source", "n_chars", key.alias("wrs_key"))
+        d.select("doc_id", "source", "n_chars",
+                 _ares_key_col().alias("wrs_key"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _STRAT_WRS_K)
         .select("doc_id", "source", "n_chars",
@@ -2270,15 +2286,13 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATIFIED_WEIGHTED_SAMPLE_SQL = rf"""
 SELECT doc_id, source, n_chars,
-       ROUND(ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0 + 0.5)
-                / 16777216.0) / n_chars, 9) AS wrs_key,
+       ROUND({_ares_key_sql()}, 9) AS wrs_key,
        rk
 FROM (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY ln(({_md5_uniform_expr('doc_id', duck=True)} * 16777215.0
-                        + 0.5) / 16777216.0) / n_chars DESC, doc_id
+           ORDER BY {_ares_key_sql()} DESC, doc_id
          ) AS rk
   FROM documents
 )

@@ -581,6 +581,7 @@ def write_bucketed(
         bucket_cols=[key],
         n_buckets=n_buckets,
         sort_cols=[key],
+        mode=mode,
     )
 
 

@@ -88,6 +88,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     catalog: str | None = None,
     schema: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Write a managed table bucketed (and optionally sorted) by the
     join/agg key. Two tables co-bucketed on the same key with the same
@@ -98,7 +99,7 @@ def write_bucketed(
     """
     writer = (
         df.write.format(TABLE_FORMAT)
-        .mode("overwrite")
+        .mode(mode)
         .bucketBy(n_buckets, *bucket_cols)
     )
     if sort_cols:

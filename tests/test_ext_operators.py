@@ -915,3 +915,56 @@ def test_pca_scores_variance_matches_eigenvalues(spark):
     assert v1 >= v2
     r12 = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
     assert abs(r12) < 0.05, r12
+
+
+def test_connected_components_long_chain_converges_or_raises(spark):
+    """A 30-node path graph needs ~29 propagation rounds to pull every
+    label to the minimum: with a tight budget the operator must RAISE
+    (never silently return half-propagated labels); with enough
+    rounds it must converge to all-zeros."""
+    import pytest as _pytest
+
+    from data_ingestion_tool_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, edges, max_iters=3)
+    ok = connected_components(vertices, edges, max_iters=64)
+    assert {r["canonical"] for r in ok.collect()} == {0}
+
+
+def test_blocked_kernel_survives_structured_ids(spark):
+    """All-even ids (an upstream-filter artifact) must still spread
+    across every block — raw pmod(vec_id, 2) would map them all to
+    block 0, un-bounding one task — and the pair set must be invariant
+    to the block count."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _emb,
+        blocked_cosine_pairs,
+    )
+
+    emb = _emb(spark, SF_CORRECT).select(
+        (F.col("vec_id") * 2).alias("vec_id"), "embedding"
+    )
+    p2 = {(r["id_a"], r["id_b"])
+          for r in blocked_cosine_pairs(emb, n_blocks=2).collect()}
+    p3 = {(r["id_a"], r["id_b"])
+          for r in blocked_cosine_pairs(emb, n_blocks=3).collect()}
+    assert p2 == p3 and p2
+    blks = (
+        emb.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(2)).cast("int").alias("blk")
+        )
+        .groupBy("blk")
+        .count()
+        .collect()
+    )
+    assert len(blks) == 2 and all(r["count"] > 0 for r in blks)
