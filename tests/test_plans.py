@@ -716,3 +716,75 @@ def test_concurrent_sessions_interval_join_is_bucketed(spark):
     assert rep.nested_loop_joins == 0, rep
     assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
     assert rep.generates >= 1  # the bucket explode
+
+
+def test_every_driver_materialization_site_is_bounded():
+    """Package-wide driver-memory contract, the collect/toPandas twin
+    of the grouped-pandas test: every site that pulls rows to the
+    driver must belong to a reviewed function whose materialization
+    is BOUNDED by construction —
+
+    - similarity: N_QUERIES query sets, k centroids, limit-probed
+      broadcast side (auto-demotes past the guard), ≤k cluster sizes,
+      ≤d² covariance rows, bounded IVF train sample / centroid table
+    - text (BPE): 1-row per-merge argmax; merge-table collect bounded
+      by the merge count
+    - excel export: limit-capped collect (the reference's unbounded
+      toPandas at box_export.py:37 is the anti-pattern this replaces)
+    - layout DML: matched-FILE lists (footer-pruned), not row data
+    - excel source: limit(1) schema probe
+
+    A new collect()/toPandas() site fails here until its author
+    documents the bound and adds it.
+    """
+    import ast
+    import os
+
+    import data_ingestion_tool_spark as pkg
+
+    BOUNDED = {
+        ("operators/similarity.py", "_ivf_train"),
+        ("operators/similarity.py", "ann_bruteforce_topk"),
+        ("operators/similarity.py", "ann_filtered_topk"),
+        ("operators/similarity.py", "ann_ivf_topk"),
+        ("operators/similarity.py", "ann_ivf_topk_indexed"),
+        ("operators/similarity.py", "ann_quantized_topk"),
+        ("operators/similarity.py", "embedding_near_dup"),
+        ("operators/similarity.py", "embedding_pca_scores"),
+        ("operators/similarity.py", "kmeans_labels"),
+        ("operators/similarity.py", "load_ivf_centroids"),
+        ("operators/similarity.py", "semdedup"),
+        ("operators/text.py", "bpe_fit_merges"),
+        ("operators/text.py", "bpe_token_counts"),
+        ("sinks/excel.py", "export_to_csv"),
+        ("sinks/excel.py", "export_to_excel"),
+        ("sinks/layout.py", "delete_where"),
+        ("sinks/layout.py", "merge_upsert_where"),
+        ("sinks/layout.py", "update_where"),
+        ("sources/excel.py", "read_excel"),
+    }
+    root = os.path.dirname(pkg.__file__)
+    found = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            tree = ast.parse(open(path).read())
+
+            def walk(node, fname):
+                for child in ast.iter_child_nodes(node):
+                    nf = fname
+                    if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        nf = child.name
+                    if (
+                        isinstance(child, ast.Call)
+                        and isinstance(child.func, ast.Attribute)
+                        and child.func.attr in ("toPandas", "collect")
+                    ):
+                        found.add((rel, fname))
+                    walk(child, nf)
+
+            walk(tree, "<module>")
+    assert found <= BOUNDED, f"unreviewed driver-side sites: {found - BOUNDED}"
