@@ -162,8 +162,34 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         "runs": runs,
+        "n_queries": len(names),
     }
-    print(json.dumps(out))
+    # Full-precision record → stderr + a repo file: the driver's tail
+    # capture keeps only the LAST 2000 stdout chars, and the round-4
+    # record was lost to a 2.3 KB line (BENCH_r04 "parsed": null).
+    full_line = json.dumps(out)
+    print(full_line, file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(full_line + "\n")
+    except OSError:
+        pass
+    # stdout: ONE compact JSON line guaranteed under the tail budget —
+    # 2-decimal timings, no spaces; if still over, drop the FASTEST
+    # entries (the slow ones are what perf analysis needs) and count
+    # the omissions.
+    budget = 1900
+    compact = dict(out, queries={n: round(t, 2) for n, t in timings.items()})
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > budget and by_cost:
+            by_cost.pop()
+            compact["queries"] = {n: round(timings[n], 2) for n in by_cost}
+            compact["queries_omitted"] = len(timings) - len(by_cost)
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -36,82 +36,75 @@ _MODULES = [
 #: the entries that need fresh driver rows; tests assert every name
 #: exists in the registry.
 #:
-#: ROUND-4 ROTATION (executed): CORRECTNESS_r01-r03 are cumulatively
-#: green for 142 distinct queries with zero hash mismatches. This
-#: window pins (a) all 25 oracle-paired queries that have never had a
-#: driver row — the round-3 additions plus the two deferred r01-family
-#: entries — then (b) the 18 rows-only queries that have never had
-#: even a rows-only driver row (sketches, ANN variants, BPE, kmeans),
-#: then (c) new round-4 operators. After r04, every registry query
-#: has a cumulative driver row.
-#:
-#: ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green, pin the
-#: five oracle-paired queries that landed after this window was
-#: sealed (all pre-verified vs DuckDB at sf0.001/0.01/0.1, two also
-#: under a foreign-tz session): grouped_price_elasticity,
-#: market_basket_brand_pairs, concurrent_sessions,
-#: seasonal_value_anomalies, and the rows-only
-#: embedding_pca_scores; fill the rest with regression re-checks of
-#: long-unchecked r01 families. (dedup_near_clusters needs no slot:
-#: it sits in this window and its recursive-CTE oracle landed before
-#: the r04 driver run, so its r04 row is already hash-checked.)
+#: ROUND-5 ROTATION (executed; round-4 verdict items 1-2): ORACLE-
+#: PAIRED ENTRIES ONLY — r04 proved the driver records rows-only
+#: entries as `err: no_oracle` (a red row), so those never take a
+#: slot again. Window = (a) the four oracle-paired queries that
+#: landed after the r04 window was sealed (judge re-verified green
+#: vs DuckDB), (b) the repaired `event_attribution_last_touch`
+#: (revenue now cast double at the boundary — r04's only hash FAIL,
+#: values were already identical) and the NEW oracle-paired ANN
+#: anchor `ann_ivf_exact_rerank` (pinned quantizer + exact rerank,
+#: verified at sf0.001/0.01/0.1), then (c) 44 long-unchecked r01/r02
+#: regression re-checks of the relational families. The two repaired
+#: rows-only outputs (`agg_approx_quantiles` scalar quantiles,
+#: `embed_documents` JSON vector) are pytest-locked by the
+#: no-decimal/array registry test instead of burning slots.
 _FRONT = [
-    # (a) oracle-paired, never driver-checked — round-3 additions
-    "skyline_orders",
-    "window_rank_extras",
-    "agg_string_concat",
-    "exact_user_reach",
-    "exact_top_terms",
-    "time_weighted_avg_value",
-    "frequent_event_sequences",
-    "cumulative_unique_users",
-    "bigram_logprob_scores",
-    "bm25_search",
-    "cooccurrence_pmi",
-    "source_vocab_overlap",
-    "doc_rolling_fingerprints",
-    "weighted_doc_sample",
-    "linewise_dedup",
-    "dedup_impact_report",
-    "label_centroid_norms",
-    "embedding_dimension_stats",
-    "user_activity_similarity",
-    "self_join_blowup_estimate",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q12_priority_shipping",
-    "tpch_q16_part_supplier_variety",
-    "tpch_q20_dominant_part_suppliers",
-    "pagerank_supply_graph",
-    # (b) rows-only by design, never driver-checked — the driver's
-    # weaker rows+schema check still puts an external row under them
-    "agg_approx_quantiles",
-    "sketch_user_reach",
-    "bpe_fit_merges",
-    "bpe_token_counts",
-    "text_semantic_dedup",
-    "embed_documents",
-    "heavy_hitter_terms",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_near_clusters",
-    "kmeans_labels",
-    "ann_lsh_topk",
-    "ann_quantized_topk",
-    "ann_ivf_topk",
-    "label_top_eigenvalue",
-    "embedding_outliers",
-    "media_near_dup_features",
-    "multimodal_prep_pipeline",
-    # (c) round-4 additions (all pre-verified vs DuckDB at sf0.001,
-    # sf0.01 AND sf0.1) + one regression re-check: semantic_dedup's
-    # shared kernel changed this round (cluster cap / group_cols)
-    "stratified_weighted_sample",
-    "token_ngram_novelty",
-    "doc_quality_ensemble",
+    # (a) sealed-window round-4 additions, first driver rows
+    "concurrent_sessions",
+    "grouped_price_elasticity",
+    "market_basket_brand_pairs",
+    "seasonal_value_anomalies",
+    # (b) repaired + new this round
     "event_attribution_last_touch",
-    "embedding_covariance",
-    "near_dup_graph_degree",
-    "semantic_dedup",
+    "ann_ivf_exact_rerank",
+    # (c) r01/r02 regression re-checks (driver-green in r1/r2, not
+    # re-hashed since; cheap relational families)
+    "pricing_summary",
+    "revenue_by_nation",
+    "customer_order_stats",
+    "top_revenue_orders",
+    "top_orders",
+    "topk_orders_per_customer",
+    "priciest_order_per_priority",
+    "orders_customers_full",
+    "orders_right_join_customers",
+    "orders_global_sort",
+    "orders_in_subquery",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "supplier_balance_pairs",
+    "region_nation_cross",
+    "promo_revenue",
+    "calendar_dim",
+    "null_safe_compare",
+    "pivot_status_counts",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_sets",
+    "agg_median_percentiles",
+    "agg_quantiles",
+    "set_union_customers",
+    "set_union_all_customers",
+    "set_intersect_customers",
+    "set_except_customers",
+    "window_rank_orders",
+    "window_lag_orders",
+    "window_running_total",
+    "window_ntile_orders",
+    "window_range_frame",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_conditional_funcs",
+    "scalar_map_funcs",
+    "scalar_regex_extract",
+    "scalar_array_map_funcs",
+    "scalar_json_events",
+    "scalar_variant_events",
+    "user_funnel",
 ]
 
 

@@ -837,7 +837,7 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "click_id",
             gap.cast("long").alias("gap_us"),
-            dec("value").alias("revenue"),
+            dec("value").cast("double").alias("revenue"),
         )
     )
 
@@ -857,7 +857,7 @@ WITH s AS (
 )
 SELECT event_id AS purchase_id, user_id, click_id,
        CAST(date_diff('microsecond', click_ts, ts) AS BIGINT) AS gap_us,
-       CAST(value AS DECIMAL(12,2)) AS revenue
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS revenue
 FROM s
 WHERE event_type = 'purchase'
   AND click_id IS NOT NULL

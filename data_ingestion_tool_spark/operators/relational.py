@@ -165,12 +165,20 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a 100 TB percentile costs one map-side-combined agg instead of a
     total sort. Accuracy 10000 → rank error ≤ n/10000. Rows-only driver
     check (sketch estimates are engine-specific); the rank-error bound
-    vs the exact ordered-set aggregate is pytest-checked."""
+    vs the exact ordered-set aggregate is pytest-checked.
+
+    Output boundary: the sketch returns ARRAY<double>, but registry
+    outputs must be scalar columns (the driver canonicalizer cannot
+    hash list cells) — the four quantiles are unpacked via element
+    access in the same projection, still one agg job."""
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75, 0.9], 10000
-        ).alias("price_quantiles")
+    q = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.9], 10000)
+    return li.groupBy("l_returnflag").agg(q.alias("qs")).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("price_q25"),
+        F.col("qs")[1].alias("price_q50"),
+        F.col("qs")[2].alias("price_q75"),
+        F.col("qs")[3].alias("price_q90"),
     )
 
 
@@ -2319,10 +2327,15 @@ def grouped_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # degenerate group (one row, or all-equal discounts) → den = 0:
+    # emit NULL slope rather than NaN/Inf (NaN compares unequal
+    # cross-engine; the oracle mirrors with NULLIF)
     return m.select(
         "p_brand",
         "n",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")), 6
+        ).alias("slope"),
         F.round(
             (F.col("sy").cast("double") / F.col("n")), 6
         ).alias("mean_qty"),
@@ -2344,7 +2357,7 @@ WITH m AS (
 )
 SELECT p_brand, n,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
        ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_qty
 FROM m ORDER BY p_brand
 """

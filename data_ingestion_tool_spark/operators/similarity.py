@@ -344,6 +344,138 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned quantizer for the oracle-paired IVF variant: the centroids
+#: are the embeddings of vec_ids [N_QUERIES, N_QUERIES + ncentroids) —
+#: a deterministic, SQL-expressible choice (no k-means state).
+_IVF_PIN_LO = N_QUERIES
+_IVF_PIN_HI = N_QUERIES + _IVF_NCENTROIDS
+
+
+def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with a PINNED quantizer + exact rerank — the
+    driver-green anchor for the approximate-ANN tier (round-4 verdict
+    ask): same assign→probe→rerank pipeline as ``ann_ivf_topk``, but
+    the coarse quantizer is the embeddings of a fixed vec_id range
+    instead of trained k-means centroids, so the whole search is
+    deterministic and ANSI-SQL-replayable (the k-means variant stays
+    rows-only; its recall is pytest-bound).
+
+    Scale shape — all JVM, zero Python:
+
+    - centroids: a ≤16-row aggregate collected into ONE array row and
+      broadcast (bounded 1-row BNLJ, the model-join pattern);
+    - assignment: in-row argmax via ``array_max`` over
+      ``struct(score, -centroid_id)`` — no 16× explode, no shuffle of
+      the corpus; ties break to the smallest centroid_id exactly as
+      the oracle's ``ROW_NUMBER`` does;
+    - probe: |Q|·ncentroids scores, window top-``nprobe`` per query;
+    - rerank: candidates = probed lists only (equi-join on list_id
+      against the broadcast probe set), exact cosine + top-k window
+      over the reduced candidate stream.
+    """
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= _IVF_PIN_LO) & (F.col("vec_id") < _IVF_PIN_HI)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cvec"))
+        ).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                cosine(F.col("v"), c["cvec"]).alias("s"),
+                (-c["centroid_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    assigned = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "v", (-best["neg_id"]).alias("list_id")
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cs"), "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            cosine(F.col("qv"), F.col("cvec")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+ANN_IVF_EXACT_RERANK_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+  WHERE vec_id >= {_IVF_PIN_LO} AND vec_id < {_IVF_PIN_HI}
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.centroid_id AS list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS list_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {_IVF_NPROBE}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    a.vec_id) AS rank
+  FROM probes p
+  JOIN assign a USING (list_id)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+) WHERE rank <= {TOP_K}
+"""
+
+
 def build_ivf_index(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> None:
@@ -1259,53 +1391,60 @@ def semdedup(
     # Oversized input: a skewed assignment (the common case for
     # web-corpus embeddings) can concentrate a large fraction of N in
     # one cluster, so the per-cluster group may not fit an executor.
-    # Materialize the assignment ONCE (eager localCheckpoint: both
-    # branches below read the checkpointed blocks, no recompute, no
-    # persist/unpersist lifetime hazard), measure cluster sizes (≤ k
-    # rows reach the driver), and route oversized clusters through the
-    # grid-blocked no-broadcast kernel restricted to within-cluster
-    # pairs — the same auto-demotion embedding_near_dup applies when
-    # the broadcast side outgrows its guard.
-    assigned = assigned.localCheckpoint(eager=True)
-    sizes = assigned.groupBy("cluster").count()
-    big = [
-        (int(r["cluster"]), int(r["count"]))
-        for r in sizes.filter(F.col("count") > cluster_cap).collect()
-    ]
-    if not big:
-        return assigned.groupBy("cluster").applyInPandas(
+    # Persist the assignment (both the size measurement and the dedup
+    # kernels read it), compute the RESULT eagerly, then release the
+    # embedding-carrying blocks in ``finally`` — the pagerank
+    # persist/unpersist discipline; a localCheckpoint here would pin
+    # the full (id, cluster, embedding) corpus in executor block
+    # storage for the session lifetime (round-4 ADVICE). What outlives
+    # the call is only the checkpointed RESULT triple
+    # (id, cluster, keep) — the data the caller consumes anyway.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sizes = assigned.groupBy("cluster").count()
+        big = [
+            (int(r["cluster"]), int(r["count"]))
+            for r in sizes.filter(F.col("count") > cluster_cap).collect()
+        ]
+        if not big:
+            result = assigned.groupBy("cluster").applyInPandas(
+                dedup_cluster, out_schema
+            )
+            return result.localCheckpoint(eager=True)
+        big_ids = [c for c, _ in big]
+        max_big = max(n for _, n in big)
+        # one kernel task holds ≤ 2 blocks of one cluster; size
+        # n_blocks so that 2·max/n_blocks ≤ CAP
+        n_blocks = max(2, -(-2 * max_big // cluster_cap))
+        small_part = assigned.filter(~F.col("cluster").isin(big_ids))
+        big_part = assigned.filter(F.col("cluster").isin(big_ids))
+        pairs = blocked_cosine_pairs(
+            big_part,
+            id_col=id_col,
+            vec_col="embedding",
+            threshold=threshold,
+            n_blocks=n_blocks,
+            group_cols=["cluster"],
+        )
+        # kernel emits id_a < id_b, cosine ≥ threshold ⇒ id_b is a dup
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        big_res = (
+            big_part.select(id_col, "cluster")
+            .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+            .select(
+                id_col,
+                "cluster",
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+            )
+        )
+        small_res = small_part.groupBy("cluster").applyInPandas(
             dedup_cluster, out_schema
         )
-    big_ids = [c for c, _ in big]
-    max_big = max(n for _, n in big)
-    # one kernel task holds ≤ 2 blocks of one cluster; size n_blocks
-    # so that 2·max/n_blocks ≤ CAP
-    n_blocks = max(2, -(-2 * max_big // cluster_cap))
-    small_part = assigned.filter(~F.col("cluster").isin(big_ids))
-    big_part = assigned.filter(F.col("cluster").isin(big_ids))
-    pairs = blocked_cosine_pairs(
-        big_part,
-        id_col=id_col,
-        vec_col="embedding",
-        threshold=threshold,
-        n_blocks=n_blocks,
-        group_cols=["cluster"],
-    )
-    # kernel emits id_a < id_b with cosine ≥ threshold ⇒ id_b is a dup
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    big_res = (
-        big_part.select(id_col, "cluster")
-        .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
-        )
-    )
-    small_res = small_part.groupBy("cluster").applyInPandas(
-        dedup_cluster, out_schema
-    )
-    return small_res.unionByName(big_res)
+        return small_res.unionByName(big_res).localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist()
 
 
 SEMANTIC_DEDUP_SQL = f"""
@@ -1673,6 +1812,10 @@ SPECS: list[QuerySpec] = [
               ("similarity",)),
     QuerySpec("ann_ivf_topk", ann_ivf_topk, None,
               "IVF coarse-quantized approximate cosine top-k", ("similarity",)),
+    QuerySpec("ann_ivf_exact_rerank", ann_ivf_exact_rerank,
+              ANN_IVF_EXACT_RERANK_SQL,
+              "IVF probe with pinned quantizer + exact rerank (oracle-paired)",
+              ("similarity",)),
     QuerySpec("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
               "cosine-threshold near-dup pairs", ("similarity", "dedup")),
     QuerySpec("label_centroid_norms", label_centroid_distances,

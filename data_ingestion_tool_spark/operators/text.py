@@ -1594,8 +1594,16 @@ def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     no dictionary broadcast, append-only safe.
 
     xxhash64 is engine-specific → rows-only driver check; determinism,
-    dimension, and unit-norm invariants are pytest-asserted."""
-    return embed_docs_df(_docs(spark, sf_dir).select("doc_id", "text"))
+    dimension, and unit-norm invariants are pytest-asserted.
+
+    Output boundary: the registry-facing result serializes the vector
+    to a JSON string (scalar column — the driver canonicalizer cannot
+    hash list cells); internal callers compose the array-returning
+    ``embed_docs_df`` directly."""
+    out = embed_docs_df(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id", F.to_json(F.col("embedding")).alias("embedding_json")
+    )
 
 
 def embed_docs_df(d: DataFrame) -> DataFrame:

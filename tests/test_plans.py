@@ -444,6 +444,7 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "bm25_search",              # 1-row corpus-stats broadcast
         "cooccurrence_pmi",         # 1-row n_docs broadcast
         "embedding_covariance",     # 1-row n broadcast onto 2k moments
+        "ann_ivf_exact_rerank",     # 1-row centroid-array + 16-row cents broadcast
     }
     offenders = {}
     for name, spec in REG.items():
@@ -788,3 +789,24 @@ def test_every_driver_materialization_site_is_bounded():
 
             walk(tree, "<module>")
     assert found <= BOUNDED, f"unreviewed driver-side sites: {found - BOUNDED}"
+
+
+def test_registry_outputs_are_driver_hashable_scalars(spark):
+    """Output-boundary contract (round-4 verdict): no registry builder
+    may emit DECIMAL or ARRAY/MAP/STRUCT top-level columns. The driver
+    canonicalizer pandas-sorts cells (lists are unhashable → crash) and
+    renders decimals with trailing-zero formatting that hash-mismatches
+    the oracle bridge's floats even when values are identical
+    (event_attribution_last_touch, r04). Decimal stays internal;
+    ``cast("double")`` at the boundary (functions/__init__ convention);
+    vectors serialize via ``to_json``."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    offenders = {}
+    for name, spec in REG.items():
+        for field in spec.builder(spark, SF_CORRECT).schema.fields:
+            if isinstance(field.dataType, (ArrayType, DecimalType, MapType, StructType)):
+                offenders.setdefault(name, []).append(
+                    f"{field.name}:{field.dataType.simpleString()}"
+                )
+    assert not offenders, f"non-scalar/decimal registry outputs: {offenders}"
