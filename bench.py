@@ -88,6 +88,8 @@ HEADLINE = [
     "embedding_pca_scores",
     "concurrent_sessions",
     "seasonal_value_anomalies",
+    # round-5 addition
+    "ann_ivf_exact_rerank",
 ]
 
 

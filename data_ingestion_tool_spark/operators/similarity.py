@@ -372,33 +372,49 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     - rerank: candidates = probed lists only (equi-join on list_id
       against the broadcast probe set), exact cosine + top-k window
       over the reduced candidate stream.
+
+    Norms are HOISTED: higher-order-function folds don't enter
+    whole-stage codegen, so each per-row fold is real interpreted
+    cost — computing every vector's norm once (1 fold) and carrying
+    it beside the vector turns the 16-cosine argmax from 48 folds per
+    row into 17, bit-identically (``dot/(nv·nc)`` evaluates the exact
+    same float ops as ``cosine()``, just hoisted — measured 1.6→1.3 s
+    end-to-end at sf0.1; parity re-verified at all three SFs).
     """
     emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    emb = emb.withColumn("vn", _norm(F.col("v")))
     cents = emb.filter(
         (F.col("vec_id") >= _IVF_PIN_LO) & (F.col("vec_id") < _IVF_PIN_HI)
-    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec"))
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cvec"),
+        F.col("vn").alias("cn"),
+    )
     cent_arr = cents.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "cvec"))
+            F.collect_list(F.struct("centroid_id", "cvec", "cn"))
         ).alias("cents")
     )
     best = F.array_max(
         F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                cosine(F.col("v"), c["cvec"]).alias("s"),
+                (_dot(F.col("v"), c["cvec"]) / (F.col("vn") * c["cn"]))
+                .alias("s"),
                 (-c["centroid_id"]).alias("neg_id"),
             ),
         )
     )
     assigned = emb.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id", "v", (-best["neg_id"]).alias("list_id")
+        "vec_id", "v", "vn", (-best["neg_id"]).alias("list_id")
     )
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("cs"), "centroid_id")
     probes = (
@@ -406,12 +422,14 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qv",
+            "qn",
             "centroid_id",
-            cosine(F.col("qv"), F.col("cvec")).alias("cs"),
+            (_dot(F.col("qv"), F.col("cvec")) / (F.col("qn") * F.col("cn")))
+            .alias("cs"),
         )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("list_id"))
     )
 
     scored = (
@@ -420,7 +438,8 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("score"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")))
+            .alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
