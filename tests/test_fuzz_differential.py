@@ -175,6 +175,105 @@ def test_fuzzed_window_topk_matches_duckdb(spark, spec):
 
 
 @st.composite
+def frame_specs(draw):
+    mode = draw(st.sampled_from(["rows", "range"]))
+    # start must not be after end: draw start from {unbounded, k
+    # preceding}, end from {current row, m following}
+    start = draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+    )  # None = UNBOUNDED PRECEDING, k = k PRECEDING
+    end = draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+    )  # None = CURRENT ROW, m = m FOLLOWING
+    agg = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    return {"mode": mode, "start": start, "end": end, "agg": agg}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=frame_specs())
+def test_fuzzed_window_frame_matches_duckdb(spark, spec):
+    """Random ROWS/RANGE window frames over lineitem: frame-boundary
+    semantics (peer rows in RANGE, physical offsets in ROWS, empty
+    frames when the window slides off the partition) are a classic
+    cross-engine divergence spot. ROWS frames order by (l_orderkey,
+    l_linenumber, l_extendedprice): the synthetic lineitem PLANTS
+    duplicate (orderkey, linenumber) keys (see
+    ``dq_duplicate_linenumbers``), and a ROWS frame whose sort ties
+    differ in the aggregated column is nondeterministic by definition
+    — including the aggregated column in the order makes any residual
+    ties interchangeable for every aggregate over it. RANGE frames
+    order by l_quantity where ties are peers (value-based,
+    deterministic) but RANGE requires the single sort key."""
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_orderkey") <= 1000  # keep each example sub-second
+    )
+    lo = (
+        Window.unboundedPreceding if spec["start"] is None else -spec["start"]
+    )
+    hi = Window.currentRow if spec["end"] is None else spec["end"]
+    if spec["mode"] == "rows":
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+            .rowsBetween(lo, hi)
+        )
+        order_sql = "l_orderkey, l_linenumber, l_extendedprice"
+        frame_kw = "ROWS"
+    else:
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_quantity")
+            .rangeBetween(lo, hi)
+        )
+        order_sql = "l_quantity"
+        frame_kw = "RANGE"
+    wcol = {
+        # cast AFTER .over(): casting the aggregate first detaches the
+        # window spec from the aggregate function
+        "sum": F.sum(dec("l_extendedprice")).over(w).cast("double"),
+        "min": F.min("l_extendedprice").over(w),
+        "max": F.max("l_extendedprice").over(w),
+        "count": F.count(F.lit(1)).over(w),
+    }[spec["agg"]]
+    sdf = li.select("l_orderkey", "l_linenumber", wcol.alias("wv"))
+    start_sql = (
+        "UNBOUNDED PRECEDING"
+        if spec["start"] is None
+        else f"{spec['start']} PRECEDING"
+    )
+    end_sql = (
+        "CURRENT ROW" if spec["end"] is None else f"{spec['end']} FOLLOWING"
+    )
+    over_sql = (
+        f"OVER (PARTITION BY l_returnflag ORDER BY {order_sql} "
+        f"{frame_kw} BETWEEN {start_sql} AND {end_sql})"
+    )
+    agg_sql = {
+        # the cast wraps the windowed aggregate, mirroring the Spark side
+        "sum": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) "
+               f"{over_sql} AS DOUBLE)",
+        "min": f"MIN(l_extendedprice) {over_sql}",
+        "max": f"MAX(l_extendedprice) {over_sql}",
+        "count": f"COUNT(*) {over_sql}",
+    }[spec["agg"]]
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, {agg_sql} AS wv
+    FROM lineitem WHERE l_orderkey <= 1000
+    """
+    con = make_duck(SF_SMOKE)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
+
+
+@st.composite
 def join_specs(draw):
     return {
         "how": draw(st.sampled_from(["inner", "left", "right"])),

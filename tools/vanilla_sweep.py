@@ -2,7 +2,7 @@
 the external harness's setup (no engine confs beyond master/shuffle
 sizing), at any scale factor:
 
-    python tools/vanilla_sweep.py [sf_dir] [--skip-slow]
+    python tools/vanilla_sweep.py [sf_dir] [--skip-slow] [--tz=Zone]
 
 Runs every oracle-paired registry query against DuckDB on the same
 parquet and prints one line per query plus a final tally. Exits 1 on
@@ -33,13 +33,22 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     skip_slow = "--skip-slow" in sys.argv
+    # --tz=Zone: run the WHOLE sweep on a session pinned to a foreign
+    # timezone (the per-query tz test covers only the flagged subset;
+    # this audits every oracle-paired query for session-dependence)
+    tz = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--tz=")),
+        None,
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if tz:
+        builder = builder.config("spark.sql.session.timeZone", tz)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
     names = [n for n, s in reg.items() if s.oracle is not None]
@@ -67,7 +76,8 @@ def main() -> int:
     n_run = len(names) - (len(SLOW & set(names)) if skip_slow else 0)
     print(
         f"\n{n_run - len(failures)}/{n_run} green at {sf_dir} "
-        f"in {time.time() - t0:.0f}s (vanilla session)"
+        f"in {time.time() - t0:.0f}s "
+        f"(vanilla session{', tz=' + tz if tz else ''})"
     )
     for name, problems in failures:
         print(f"  {name}: {problems}")
