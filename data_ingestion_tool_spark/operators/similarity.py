@@ -380,6 +380,12 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     row into 17, bit-identically (``dot/(nv·nc)`` evaluates the exact
     same float ops as ``cosine()``, just hoisted — measured 1.6→1.3 s
     end-to-end at sf0.1; parity re-verified at all three SFs).
+
+    Cross-engine float stability (the threshold-gap discipline): the
+    smallest score gap any ranking decision rests on was probed in
+    DuckDB at both gate SFs — assignment argmax 1st-vs-2nd ≥ 5.1e-5,
+    rerank rank-5-vs-6 ≥ 2.0e-5 — vs ~1e-13 worst-case summation-
+    order noise between engines; no boundary can flip.
     """
     emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("v")

@@ -810,3 +810,19 @@ def test_registry_outputs_are_driver_hashable_scalars(spark):
                     f"{field.name}:{field.dataType.simpleString()}"
                 )
     assert not offenders, f"non-scalar/decimal registry outputs: {offenders}"
+
+
+def test_ivf_exact_rerank_is_jvm_only_bounded_broadcasts(spark):
+    """The oracle-paired IVF anchor: centroid scans are pushed-filter
+    pruned (vec_id range reaches the parquet scan), both nested-loop
+    joins are the bounded 1-row/16-row centroid broadcasts, candidates
+    ride one BroadcastHashJoin on list_id, and nothing is Python or
+    sort-merge."""
+    df = REG["ann_ivf_exact_rerank"].builder(spark, SF_CORRECT)
+    assert_pushed_filter(df, "vec_id")
+    rep = plan_report(df)
+    assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
+    assert rep.sort_merge_joins == 0
+    assert rep.nested_loop_joins <= 2  # the two bounded centroid crossJoins
+    assert rep.broadcast_hash_joins >= 1  # candidates x probes on list_id
+    assert rep.exchanges <= 3  # cent-array agg + probe window + rank window
