@@ -50,6 +50,13 @@ _MODULES = [
 #: rows-only outputs (`agg_approx_quantiles` scalar quantiles,
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
+#:
+#: ROUND-6 ROTATION PLAN: once CORRECTNESS_r05 lands 50/50, every
+#: oracle-paired query has a cumulative driver-green row. r06 should
+#: be a pure regression rotation: the r02-green text/dedup/events
+#: families (text_quality, token_counts, doc_* and dedup_* entries,
+#: the six repaired events queries) that will then be four rounds
+#: unchecked — still oracle-paired only; rows-only stays out.
 _FRONT = [
     # (a) sealed-window round-4 additions, first driver rows
     "concurrent_sessions",
