@@ -87,6 +87,15 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    # Heap sizing for LOCAL mode: Spark's 1g default heap serves one
+    # driver thread on a cluster, but in local[N] the same JVM runs
+    # all N task threads — N-way parallel shuffles/windows in 1g is a
+    # GC wall long before data is "big". Only effective at JVM launch
+    # (a pre-existing session keeps its heap); cluster deployments
+    # size executors via spark-submit instead.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if mem and master and master.startswith("local"):
+        builder = builder.config("spark.driver.memory", mem)
     builder = configure_builder(
         builder,
         shuffle_partitions=shuffle_partitions,

@@ -1,0 +1,207 @@
+"""Scale-up audit: does the engine's per-query cost grow ~linearly
+when the data grows 10x / 100x?
+
+    python tools/scale_audit.py [--factor N] [--base sf_dir] [--out dir]
+                                [--queries a,b,c]
+
+Builds a FACTOR-x replica of the relational/events tables under
+``--out`` by unioning key-remapped copies (every FK column shifted by
+replica * 10^9, so the join web stays consistent — replica r's orders
+reference replica r's customers; nation/region stay single-copy dims;
+events keep their real timestamps, so time-window densities grow with
+the data like a busier production stream). The text/vector tables are
+NOT replicated: duplicating documents verbatim manufactures a
+pathological duplicate-heavy corpus (every doc gains FACTOR-1 exact
+copies), which is a robustness scenario — covered by the planted
+hot-bucket tests — not a realistic corpus scale-up.
+
+Then times each query at the base SF and at FACTOR-x (noop-write
+terminal action, min of 2 runs, same session) and prints a per-query
+ratio table plus one JSON line. A ratio near FACTOR = linear scaling;
+well under FACTOR = fixed overhead still dominates; well over FACTOR
+= a superlinear stage that 100 TB would punish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_ingestion_tool_spark import get_spark  # noqa: E402
+from data_ingestion_tool_spark.operators import registry  # noqa: E402
+
+#: key columns to shift per table (FK-consistent remap)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+#: single-copy dimensions (shared across replicas)
+COPY_TABLES = ["nation", "region"]
+
+KEY_BASE = 1_000_000_000
+
+#: shuffle-heavy relational/events/tpch headliners that touch ONLY the
+#: replicated tables (no documents/embeddings)
+DEFAULT_QUERIES = [
+    "validate_lineitem",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "customer_order_stats",
+    "agg_distinct",
+    "agg_rollup",
+    "window_rank_orders",
+    "topk_orders_per_customer",
+    "scalar_json_events",
+    "tumbling_hourly",
+    "session_windows",
+    "multires_rollup",
+    "asof_last_event",
+    "events_gap_fill",
+    "winsorized_prices",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_last_shipper",
+    "tpch_q2_min_cost_supplier",
+    "rolling_weekly_active_users",
+    "frequent_event_sequences",
+    "time_weighted_avg_value",
+    "self_join_blowup_estimate",
+    "skyline_orders",
+    "concurrent_sessions",
+    "seasonal_value_anomalies",
+    "event_attribution_last_touch",
+    "grouped_price_elasticity",
+    "market_basket_brand_pairs",
+    "cumulative_unique_users",
+    "exact_user_reach",
+    "salted_revenue_by_priority",
+    "join_key_skew_profile",
+    "user_funnel",
+    "purchases_after_clicks",
+]
+
+
+def build_scaled(spark, base: str, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t, keys in KEY_COLS.items():
+        src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        # one pass: explode a replica index, shift every key column
+        rep = src.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        for k in keys:
+            rep = rep.withColumn(
+                k, F.col(k) + F.col("_r").cast("long") * KEY_BASE
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    for t in COPY_TABLES:
+        spark.read.parquet(os.path.join(base, f"{t}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+
+
+def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
+    out = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            reg[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> int:
+    factor = 10
+    base = "/root/testdata/sf0.1"
+    out_root = "/tmp/scale_audit"
+    names = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--factor":
+            factor = int(argv[i + 1])
+        elif a == "--base":
+            base = argv[i + 1]
+        elif a == "--out":
+            out_root = argv[i + 1]
+        elif a == "--queries":
+            names = argv[i + 1].split(",")
+    names = names or DEFAULT_QUERIES
+    out = os.path.join(out_root, f"x{factor}")
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # the scaled input needs a real heap: local[N] runs all N task
+    # threads in ONE JVM (see session.py) — 1g is a GC wall at 10x
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "48g")
+    spark = get_spark(
+        "scale-audit",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(out, "_SUCCESS_AUDIT")):
+        print(f"building {factor}x replica under {out} ...", flush=True)
+        t0 = time.time()
+        build_scaled(spark, base, out, factor)
+        open(os.path.join(out, "_SUCCESS_AUDIT"), "w").close()
+        print(f"built in {time.time() - t0:.0f}s", flush=True)
+
+    reg = registry()
+    names = [n for n in names if n in reg]
+    # warmup both dirs
+    reg[names[0]].builder(spark, base).limit(1).collect()
+    reg[names[0]].builder(spark, out).limit(1).collect()
+    base_t = time_queries(spark, reg, names, base)
+    scaled_t = time_queries(spark, reg, names, out)
+
+    rows = []
+    for n in names:
+        ratio = scaled_t[n] / base_t[n] if base_t[n] > 0 else float("nan")
+        rows.append((n, base_t[n], scaled_t[n], ratio))
+    rows.sort(key=lambda r: -r[3])
+    print(f"\n{'query':36s} {'1x':>8s} {f'{factor}x':>8s} {'ratio':>7s}")
+    for n, b, s, r in rows:
+        print(f"{n:36s} {b:8.3f} {s:8.3f} {r:7.2f}")
+    total_b = sum(base_t.values())
+    total_s = sum(scaled_t.values())
+    print(
+        f"{'TOTAL':36s} {total_b:8.3f} {total_s:8.3f} "
+        f"{total_s / total_b:7.2f}"
+    )
+    print(
+        json.dumps(
+            {
+                "factor": factor,
+                "n_queries": len(names),
+                "total_base_sec": round(total_b, 2),
+                "total_scaled_sec": round(total_s, 2),
+                "total_ratio": round(total_s / total_b, 2),
+                "worst": [
+                    {"query": n, "ratio": round(r, 2)} for n, _, _, r in rows[:5]
+                ],
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
