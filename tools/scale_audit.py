@@ -2,7 +2,7 @@
 when the data grows 10x / 100x?
 
     python tools/scale_audit.py [--factor N] [--base sf_dir] [--out dir]
-                                [--queries a,b,c]
+                                [--queries a,b,c] [--with-text]
 
 Builds a FACTOR-x replica of the relational/events tables under
 ``--out`` by unioning key-remapped copies (every FK column shifted by
@@ -10,10 +10,16 @@ replica * 10^9, so the join web stays consistent — replica r's orders
 reference replica r's customers; nation/region stay single-copy dims;
 events keep their real timestamps, so time-window densities grow with
 the data like a busier production stream). The text/vector tables are
-NOT replicated: duplicating documents verbatim manufactures a
-pathological duplicate-heavy corpus (every doc gains FACTOR-1 exact
+not replicated by default: duplicating documents verbatim manufactures
+a pathological duplicate-heavy corpus (every doc gains FACTOR-1 exact
 copies), which is a robustness scenario — covered by the planted
-hot-bucket tests — not a realistic corpus scale-up.
+hot-bucket tests — not a realistic corpus scale-up. ``--with-text``
+replicates them HONESTLY instead: per-replica token suffixes give
+disjoint vocabularies (within-replica shingle/near-dup structure
+preserved exactly, cross-replica Jaccard 0), and embeddings get a
+per-replica orthogonal transform (cyclic dimension shift + hash-
+patterned sign flips — norms and within-replica cosines exact,
+cross-replica cosines decorrelated).
 
 Then times each query at the base SF and at FACTOR-x (noop-write
 terminal action, min of 2 runs, same session) and prints a per-query
@@ -49,6 +55,15 @@ KEY_COLS = {
 COPY_TABLES = ["nation", "region"]
 
 KEY_BASE = 1_000_000_000
+
+#: text/vector replication is OPT-IN (--with-text) and perturbs each
+#: replica so the scaled corpus is NOT duplicate-heavy: every token
+#: gets a per-replica suffix (replica vocabularies are disjoint — the
+#: within-replica near-dup/shingle structure is preserved exactly,
+#: cross-replica Jaccard is 0), and every embedding is cyclically
+#: dimension-shifted + alternating-sign-flipped per replica (norms and
+#: intra-replica geometry preserved; cross-replica cosines decorrelate)
+TEXT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 #: shuffle-heavy relational/events/tpch headliners that touch ONLY the
 #: replicated tables (no documents/embeddings)
@@ -92,7 +107,9 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled(spark, base: str, out: str, factor: int) -> None:
+def build_scaled(
+    spark, base: str, out: str, factor: int, with_text: bool = False
+) -> None:
     os.makedirs(out, exist_ok=True)
     for t, keys in KEY_COLS.items():
         src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
@@ -111,6 +128,95 @@ def build_scaled(spark, base: str, out: str, factor: int) -> None:
         spark.read.parquet(os.path.join(base, f"{t}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{t}.parquet"))
+    if not with_text:
+        return
+    for t, key in TEXT_TABLES.items():
+        src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        rep = src.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).withColumn(key, F.col(key) + F.col("_r").cast("long") * KEY_BASE)
+        if "text" in rep.columns:
+            # replica 0 keeps the original text verbatim; replicas
+            # r>0 suffix every token with "xr" (disjoint vocabularies)
+            toks = F.split(F.trim(F.col("text")), r"\s+")
+            suffixed = F.concat_ws(
+                " ",
+                F.transform(
+                    toks,
+                    lambda tk: F.concat(
+                        tk, F.lit("x"), F.col("_r").cast("string")
+                    ),
+                ),
+            )
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("_r") == 0, F.col("text")).otherwise(suffixed),
+            )
+        if "embedding" in rep.columns:
+            # cyclic dimension shift by 7r (mod d) + a hash-patterned
+            # sign flip per (element, replica): both are orthogonal
+            # transforms, so norms and within-replica cosines are
+            # EXACTLY preserved while cross-replica cosines
+            # decorrelate (any two replicas differ by a rotation times
+            # a pseudo-random ±1 diagonal). Replica 0 stays verbatim.
+            d = len(
+                src.select("embedding").limit(1).collect()[0][0]
+            )
+            shift = F.pmod(F.col("_r") * 7, F.lit(d))
+            rotated = F.concat(
+                F.slice(F.col("embedding"), shift + 1, F.lit(d) - shift),
+                F.slice(F.col("embedding"), F.lit(1), shift),
+            )
+            flipped = F.transform(
+                rotated,
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(i, F.col("_r")), F.lit(2)) == 1, -x
+                ).otherwise(x),
+            )
+            rep = rep.withColumn(
+                "embedding",
+                F.when(F.col("_r") == 0, F.col("embedding")).otherwise(
+                    flipped
+                ),
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+
+
+#: text/vector-tier headliners for --with-text runs (documents and
+#: embeddings replicated with the perturbations above)
+TEXT_QUERIES = [
+    "text_quality",
+    "text_stats",
+    "token_counts",
+    "lang_id",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "bm25_search",
+    "repetition_score",
+    "quality_score_linear",
+    "unigram_logprob_scores",
+    "doc_quality_ensemble",
+    "exact_top_terms",
+    "heavy_hitter_terms",
+    "embed_documents",
+    "token_ngram_novelty",
+    "linewise_dedup",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_exact_rerank",
+    "embedding_near_dup",
+    "embedding_dimension_stats",
+    "embedding_covariance",
+    "semantic_dedup",
+    "kmeans_labels",
+]
 
 
 def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
@@ -132,6 +238,7 @@ def main() -> int:
     base = "/root/testdata/sf0.1"
     out_root = "/tmp/scale_audit"
     names = None
+    with_text = "--with-text" in sys.argv
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--factor":
@@ -142,8 +249,8 @@ def main() -> int:
             out_root = argv[i + 1]
         elif a == "--queries":
             names = argv[i + 1].split(",")
-    names = names or DEFAULT_QUERIES
-    out = os.path.join(out_root, f"x{factor}")
+    names = names or (TEXT_QUERIES if with_text else DEFAULT_QUERIES)
+    out = os.path.join(out_root, f"x{factor}{'t' if with_text else ''}")
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # the scaled input needs a real heap: local[N] runs all N task
@@ -159,7 +266,7 @@ def main() -> int:
     if not os.path.exists(os.path.join(out, "_SUCCESS_AUDIT")):
         print(f"building {factor}x replica under {out} ...", flush=True)
         t0 = time.time()
-        build_scaled(spark, base, out, factor)
+        build_scaled(spark, base, out, factor, with_text=with_text)
         open(os.path.join(out, "_SUCCESS_AUDIT"), "w").close()
         print(f"built in {time.time() - t0:.0f}s", flush=True)
 
