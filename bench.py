@@ -88,8 +88,9 @@ HEADLINE = [
     "embedding_pca_scores",
     "concurrent_sessions",
     "seasonal_value_anomalies",
-    # round-5 addition
+    # round-5 additions
     "ann_ivf_exact_rerank",
+    "dedup_simhash",
 ]
 
 
