@@ -20,6 +20,15 @@ Scale design:
   (numpy), then pairs via 8-bit band blocking (8 bands guarantee a
   collision for Hamming distance ≤ 7) and verifies with
   ``bit_count(xor)`` JVM-side.
+- **Band buckets are capped** (MinHash + SimHash, round-5): buckets up
+  to ``_BUCKET_CAP`` members keep the complete all-pairs join; larger
+  buckets — saturated band spaces or duplicate-heavy families, whose
+  true pair set is inherently quadratic — emit ≤ ``_BAND_WINDOW``
+  lead-window chains per member, preserving family connectivity for
+  the clustering consumers at bounded candidate cost.
+- **Edit-distance pairs** use lossless PassJoin segment blocking
+  (content-based keys — bucket sizes track shared-prefix families,
+  not corpus size).
 """
 
 from __future__ import annotations
@@ -39,9 +48,8 @@ MINHASH_BANDS = 8  # rows per band = MINHASH_K // MINHASH_BANDS = 4
 #: bucket ≤ m·W, connectivity of duplicate families preserved.
 _BAND_WINDOW = 16
 #: Banded-dedup two-path split (SimHash + MinHash): buckets up to this
-#: size keep the complete
-#: all-pairs join (≤ cap² candidates per bucket); larger buckets
-#: demote to the sorted lead-window chains.
+#: size keep the complete all-pairs join (≤ cap² candidates per
+#: bucket); larger buckets demote to the sorted lead-window chains.
 _BUCKET_CAP = 64
 SIMHASH_MAX_HAMMING = 6
 
@@ -622,53 +630,158 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_PREFIX = 20  # chars of the doc head treated as its "title"
 _FUZZY_MAX_DIST = 2
-_FUZZY_BAND_W = _FUZZY_MAX_DIST + 1
+
+
+def _fuzzy_seg(target_len, i: int):
+    """1-based (start, length) of segment ``i`` when a string of length
+    ``target_len`` is split into ``_FUZZY_MAX_DIST + 1`` segments
+    (first ``rem`` segments one char longer)."""
+    k = _FUZZY_MAX_DIST + 1
+    base = F.floor(target_len / k).cast("int")
+    rem = (target_len % k).cast("int")
+    length = base + F.when(F.lit(i) < rem, 1).otherwise(0)
+    start = (F.lit(i) * base + F.least(F.lit(i), rem) + 1).cast("int")
+    return start, length
 
 
 def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join: document-head pairs within
-    Levenshtein distance {d}, found with LOSSLESS length-band blocking
-    instead of an all-pairs scan.
+    Levenshtein distance {d}, found with LOSSLESS PassJoin segment
+    blocking (Li, Deng & Feng, VLDB 2011) instead of an all-pairs
+    scan.
 
-    ``lev(a,b) ≤ d ⟹ |len(a)-len(b)| ≤ d``, so with bands of width
-    d+1 a match can only sit in the same or an adjacent band. The left
-    side fans out to its 3 candidate bands (bounded 3× explode), the
-    join is EQUI on the band key (hash-partitionable — no theta join,
-    no cartesian), and the exact Levenshtein filter runs only inside
-    band-collided pairs. At 100 TB, compose with a first-char or
-    q-gram bucket in the join key to tighten blocks further; the
-    completeness argument survives any additional equality key that is
-    itself distance-preserved.
+    Pigeonhole: split a string into d+1 segments — any string within
+    edit distance d must contain one segment VERBATIM, shifted by at
+    most d positions (each edit shifts later positions by ≤ 1). So
+    the index side emits its d+1 segments keyed by (target length,
+    segment idx, content); the probe side emits, for every candidate
+    partner length L' ∈ [len−d, len+d], the substrings at each
+    segment's position ± d — a bounded ≤ (2d+1)²·(d+1) ≈ 75-key
+    fan-out per row — and candidates come from the EQUI join on
+    (L', idx, content). Round-5 scale audit rationale: the previous
+    length-band blocking had a FIXED ~{p}/(d+1) band space, so
+    buckets grew linearly with the corpus and the band join
+    quadratically (it did not finish the 10× audit); PassJoin keys
+    are content-based, so bucket sizes track true near-dup families,
+    not corpus size. Same output, exact Levenshtein verify.
+
+    Titles shorter than d+1 chars can't form d+1 non-empty segments;
+    any two such titles are within distance d by construction
+    (lev ≤ max(len)), so they pair through one constant-key bucket —
+    that output is inherently quadratic in their count.
     """
+    k = _FUZZY_MAX_DIST + 1
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring(F.trim("text"), 1, _FUZZY_PREFIX).alias("title"),
-    ).withColumn("band", F.floor(F.length("title") / _FUZZY_BAND_W))
-    left = d.select(
+    ).withColumn("len", F.length("title").cast("int"))
+
+    # ---- index side: the d+1 segments of every title of len >= k
+    idx_entries = []
+    for i in range(k):
+        start, ln = _fuzzy_seg(F.col("len"), i)
+        idx_entries.append(
+            F.when(
+                F.col("len") >= k,
+                F.struct(
+                    F.col("len").alias("L"),
+                    F.lit(i).alias("seg"),
+                    F.substring("title", start, ln).alias("content"),
+                ),
+            )
+        )
+    index = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("title").alias("title_b"),
+        F.explode(
+            F.filter(F.array(*idx_entries), lambda x: x.isNotNull())
+        ).alias("key"),
+    )
+
+    # ---- probe side: substrings at every compatible (L', seg, shift)
+    probe_entries = []
+    for dL in range(-_FUZZY_MAX_DIST, _FUZZY_MAX_DIST + 1):
+        target = F.col("len") + dL
+        for i in range(k):
+            start, ln = _fuzzy_seg(target, i)
+            for delta in range(-_FUZZY_MAX_DIST, _FUZZY_MAX_DIST + 1):
+                pos = start + delta
+                valid = (
+                    (target >= k)
+                    & (pos >= 1)
+                    & (pos + ln - 1 <= F.col("len"))
+                )
+                probe_entries.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            target.cast("int").alias("L"),
+                            F.lit(i).alias("seg"),
+                            F.substring("title", pos, ln).alias("content"),
+                        ),
+                    )
+                )
+    probe = d.select(
         F.col("doc_id").alias("doc_a"),
         F.col("title").alias("title_a"),
         F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("band"),
+            F.array_distinct(
+                F.filter(F.array(*probe_entries), lambda x: x.isNotNull())
+            )
+        ).alias("key"),
     )
-    right = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("title_b"),
-        "band",
-    )
-    return (
-        left.join(right, "band")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.levenshtein("title_a", "title_b") <= _FUZZY_MAX_DIST)
+
+    # distinct on the NARROW id pair (a candidate matches on up to
+    # (d+1)·(2d+1) keys — deduping before the titles rejoin keeps the
+    # shuffle 16 bytes/row, the jaccard-verify discipline)
+    candidates = (
+        probe.join(index, "key")
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # ---- tiny titles (len < k): all within distance d of each other
+    tiny = d.filter(F.col("len") < k)
+    tiny_pairs = (
+        tiny.select(F.col("doc_id").alias("doc_a"))
+        .join(tiny.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+    titles = d.select("doc_id", "title")
+    both = (
+        candidates.unionByName(tiny_pairs)
+        .join(
+            F.broadcast(
+                titles.select(
+                    F.col("doc_id").alias("doc_a"), F.col("title").alias("ta")
+                )
+            ),
             "doc_a",
+        )
+        .join(
+            F.broadcast(
+                titles.select(
+                    F.col("doc_id").alias("doc_b"), F.col("title").alias("tb")
+                )
+            ),
             "doc_b",
-            F.levenshtein("title_a", "title_b").alias("edit_dist"),
         )
     )
+    return (
+        both.withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
 
 
-fuzzy_title_pairs.__doc__ = fuzzy_title_pairs.__doc__.format(d=_FUZZY_MAX_DIST)
+fuzzy_title_pairs.__doc__ = fuzzy_title_pairs.__doc__.format(
+    d=_FUZZY_MAX_DIST, p=_FUZZY_PREFIX
+)
 
 
 FUZZY_TITLE_PAIRS_SQL = f"""

@@ -445,6 +445,12 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "cooccurrence_pmi",         # 1-row n_docs broadcast
         "embedding_covariance",     # 1-row n broadcast onto 2k moments
         "ann_ivf_exact_rerank",     # 1-row centroid-array + 16-row cents broadcast
+        # tiny-title bucket (len < d+1): every such pair is within
+        # distance d by construction, so the all-pairs join IS the
+        # output (inherently quadratic in the — degenerate, near-empty
+        # -doc — tiny-title count); the PassJoin path carries all
+        # titles of len >= d+1
+        "fuzzy_title_pairs",
     }
     offenders = {}
     for name, spec in REG.items():
