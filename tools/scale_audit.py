@@ -207,6 +207,7 @@ TEXT_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "fuzzy_title_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -230,6 +231,11 @@ def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
             ).save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+        # several operators persist intermediates as part of their
+        # plan (a cost the timing above counts); drop them so block
+        # storage doesn't accumulate across the 2·|names| timings and
+        # perturb later entries with GC pressure
+        spark.catalog.clearCache()
     return out
 
 
