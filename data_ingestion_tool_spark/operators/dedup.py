@@ -1319,7 +1319,7 @@ SPECS: list[QuerySpec] = [
               "arriving-batch vs existing-corpus fingerprint dedup",
               ("dedup", "warehouse")),
     QuerySpec("fuzzy_title_pairs", fuzzy_title_pairs, FUZZY_TITLE_PAIRS_SQL,
-              "edit-distance join via lossless length-band blocking",
+              "edit-distance join via lossless PassJoin segment blocking",
               ("dedup", "similarity")),
     QuerySpec("dedup_first_event", dedup_first_event, DEDUP_FIRST_EVENT_SQL,
               "keyed exact dedup, deterministic keep rule", ("dedup",)),

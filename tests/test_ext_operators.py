@@ -86,6 +86,45 @@ def test_minhash_hot_bucket_candidates_are_bounded_and_connected(spark):
     assert len(roots) == 1, f"duplicate family split into {len(roots)} components"
 
 
+def test_simhash_hot_bucket_pairs_are_bounded_and_connected(spark):
+    """The simhash twin of the minhash planted-corpus test: 1000
+    identical docs put all 1000 in one bucket per band (> _BUCKET_CAP)
+    — the windowed path must bound the emitted pairs at ~m·W·bands
+    (never the inherent C(1000,2) ≈ 500k) while keeping the family
+    connected for downstream clustering."""
+    from data_ingestion_tool_spark.operators.dedup import _BAND_WINDOW
+
+    m = 1000
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(m)],
+        "doc_id long, text string",
+    ).repartition(8)
+    # run the operator's pairing inline (the builder reads parquet;
+    # the kernel under test is the banded pairing over signatures)
+    import tempfile
+
+    from data_ingestion_tool_spark.operators.dedup import dedup_simhash
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        pairs = dedup_simhash(spark, tmp).collect()
+    assert 0 < len(pairs) <= m * _BAND_WINDOW * 8, len(pairs)
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            parent[a] = b
+    assert len({find(i) for i in range(m)}) == 1
+
+
 def test_simhash_finds_planted_near_dups(spark, exact_pairs):
     """SimHash (Hamming ≤ 6) must rediscover most of the high-Jaccard
     planted near-dups; its pairs must themselves be near-dups mostly."""
