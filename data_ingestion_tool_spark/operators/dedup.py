@@ -363,8 +363,10 @@ def minhash_lsh_candidates(
     stack_expr = ", ".join(
         f"{b}, band{b}" for b in range(MINHASH_BANDS)
     )
-    # persisted: the signature stage (posting explode + K min-aggs)
-    # feeds the size window and both bucket paths
+    # persisted for the duration of THIS builder only (unpersisted
+    # below once the candidate union is checkpointed): the signature
+    # stage (posting explode + K min-aggs) feeds the size window and
+    # both bucket paths
     long_form = banded.selectExpr(
         "doc_id",
         f"stack({MINHASH_BANDS}, {stack_expr}) AS (band_idx, band_hash)",
@@ -402,7 +404,15 @@ def minhash_lsh_candidates(
         ).alias("succs"),
     )
     big_pairs = neigh.select("doc_a", F.explode("succs").alias("doc_b"))
-    return small_pairs.unionByName(big_pairs).distinct()
+    # materialize the bounded candidate set, then release the
+    # persisted banded-signature table (same lifetime discipline as
+    # dedup_simhash / semantic_dedup: never leave a session-pinned
+    # cache behind); the checkpointed pair list is 16 bytes/row
+    out = small_pairs.unionByName(big_pairs).distinct().localCheckpoint(
+        eager=True
+    )
+    long_form.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +516,17 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_column() -> F.Column:
-    """64-bit SimHash of the token set, vectorized via Arrow."""
+    """64-bit SimHash of the token set, vectorized via Arrow.
+
+    Batch-vectorized (round-6; was a per-row/per-token Python loop):
+    the only remaining Python iteration is one ``hashlib.md5`` call
+    per DISTINCT token in the Arrow batch (memoized via
+    ``np.unique``); bit extraction, the ±1 accumulation across every
+    (row, token) incidence, and the majority-bit packing are three
+    whole-batch numpy passes (broadcasted shift table + ``np.add.at``
+    scatter on the (rows, 64) accumulator). Same hash semantics as
+    before — md5 first 8 bytes little-endian — so planted-corpus and
+    overlap-vs-exact tests pin identical signatures."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -514,34 +534,67 @@ def simhash_column() -> F.Column:
 
         import numpy as np
 
-        shifts = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            tokens = set(str(t).strip().split())
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in tokens:
-                h = np.uint64(
-                    int.from_bytes(
-                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                    )
+        n = len(texts)
+        tok_lists = [
+            list(dict.fromkeys(str(t).strip().split())) for t in texts
+        ]
+        counts = np.fromiter(
+            (len(tl) for tl in tok_lists), dtype=np.int64, count=n
+        )
+        flat = [tok for tl in tok_lists for tok in tl]
+        if not flat:
+            return pd.Series(np.zeros(n, dtype=np.int64))
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        hvals = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(tok).encode("utf-8")).digest()[:8],
+                    "little",
                 )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += bits * 2 - 1
-            sig = np.uint64(0)
-            for b in np.nonzero(acc > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+                for tok in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        # (distinct-tokens, 64) sign matrix, then scatter-add every
+        # (row, token) incidence into the per-row accumulator
+        signs = (
+            ((hvals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            * 2
+            - 1
+        )
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, row_ids, signs[inv])
+        sig = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sig.astype(np.int64))
 
     return _simhash(F.col("text"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    band_window: int = _BAND_WINDOW,
+    bucket_cap: int = _BUCKET_CAP,
+) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ 6: 8-bit band
     blocking (8 bands ⇒ guaranteed collision for distance ≤ 7), then
     JVM-side ``bit_count(xor)`` verification. Hash values are
     engine-specific (xxhash64) → rows-only check; the oracle-paired
     exact twin for near-dup semantics is ``dedup_ngram_jaccard``.
+
+    ``bucket_cap`` / ``band_window`` expose the two-path split knobs
+    (mirroring ``minhash_lsh_candidates``): pair-list consumers that
+    need the complete — inherently quadratic — pair set on saturated
+    corpora can raise ``bucket_cap`` and opt out of the windowed
+    chain.
 
     BUCKET-SATURATION BOUND (round-5 scale audit): the 8-bit band
     space is FIXED at 256 values, so average bucket size grows
@@ -569,8 +622,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     banded = d.select("doc_id", "sim", *bands)
     stack_expr = ", ".join(f"{b}, band{b}" for b in range(8))
-    # persisted: the signature stage is a pandas_udf pass and both
-    # bucket paths (and the size window) read it
+    # persisted for the duration of THIS builder only (unpersisted
+    # below once the candidate union is checkpointed): the signature
+    # stage is a pandas_udf pass and both bucket paths (and the size
+    # window) read it
     long_form = banded.selectExpr(
         "doc_id", "sim", f"stack(8, {stack_expr}) AS (band_idx, band_val)"
     ).persist()
@@ -578,8 +633,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_size = Window.partitionBy("band_idx", "band_val")
     sized = long_form.withColumn("m", F.count(F.lit(1)).over(w_size))
-    small = sized.filter(F.col("m") <= _BUCKET_CAP)
-    big = sized.filter(F.col("m") > _BUCKET_CAP)
+    small = sized.filter(F.col("m") <= bucket_cap)
+    big = sized.filter(F.col("m") > bucket_cap)
 
     sa = small.select(
         F.col("doc_id").alias("doc_a"),
@@ -605,13 +660,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # hot-bucket chain order: UNSIGNED signature order (sim XOR
+    # Long.MIN_VALUE flips the sign bit), so near signatures
+    # straddling 0x7FF…/0x800… sort adjacent — the signed order put
+    # them maximally far apart, weakening the sorted-probing claim
+    sim_unsigned = F.col("sim").bitwiseXOR(F.lit(-(2**63)))
     w_bucket = Window.partitionBy("band_idx", "band_val").orderBy(
-        "sim", "doc_id"
+        sim_unsigned, "doc_id"
     )
     me = F.struct(F.col("doc_id").alias("id"), F.col("sim").alias("s"))
     succs = F.filter(
         F.array(
-            *[F.lead(me, j).over(w_bucket) for j in range(1, _BAND_WINDOW + 1)]
+            *[F.lead(me, j).over(w_bucket) for j in range(1, band_window + 1)]
         ),
         lambda x: x.isNotNull(),
     )
@@ -621,11 +681,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("x.id", "y.id").alias("doc_b"),
         F.bit_count(F.col("x.s").bitwiseXOR(F.col("y.s"))).alias("hamming"),
     )
-    return (
+    # materialize the bounded candidate union, then release the wide
+    # persisted signature table — without this the per-doc signature
+    # blocks stay pinned for the session (the semdedup lifetime fix
+    # applied here); the checkpointed pair list is narrow (2 longs +
+    # an int per row) and its blocks are GC-cleaned with the result
+    out = (
         small_pairs.unionByName(big_pairs)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    long_form.unpersist()
+    return out
 
 
 _FUZZY_PREFIX = 20  # chars of the doc head treated as its "title"
@@ -667,8 +735,13 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Titles shorter than d+1 chars can't form d+1 non-empty segments;
     any two such titles are within distance d by construction
-    (lev ≤ max(len)), so they pair through one constant-key bucket —
-    that output is inherently quadratic in their count.
+    (lev ≤ max(len)), so they pair through one constant-key bucket.
+    That bucket's complete output is inherently quadratic in its
+    member count, so it gets the standard two-path bound: complete
+    pairs up to ``_BUCKET_CAP`` members (oracle-exact on clean
+    corpora), a lead-window chain beyond it (dirty web corpora are
+    full of empty/whitespace docs — the chain keeps the family
+    connected for clustering without the m² plan).
     """
     k = _FUZZY_MAX_DIST + 1
     d = _docs(spark, sf_dir).select(
@@ -744,14 +817,54 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # ---- tiny titles (len < k): all within distance d of each other
-    tiny = d.filter(F.col("len") < k)
-    tiny_pairs = (
-        tiny.select(F.col("doc_id").alias("doc_a"))
-        .join(tiny.select(F.col("doc_id").alias("doc_b")))
+    # ---- tiny titles (len < k): all within distance d of each other,
+    # so they form ONE bucket whose complete pair set is inherently
+    # quadratic. Two-path split (the hot-LSH-bucket discipline): if
+    # the bucket holds ≤ _BUCKET_CAP docs — every clean corpus; dirty
+    # web corpora are full of empty/whitespace docs — emit the
+    # complete, oracle-exact pair set; above the cap demote to a
+    # lead-window chain (all members are mutually within distance d,
+    # so a chain keeps the family connected for clustering while the
+    # plan stays ≤ m·W instead of m²).
+    from pyspark.sql import Window
+
+    w_tiny = Window.partitionBy(F.lit(0))
+    tiny = (
+        d.filter(F.col("len") < k)
+        .select("doc_id")
+        .withColumn("m", F.count(F.lit(1)).over(w_tiny))
+    )
+    t_small = tiny.filter(F.col("m") <= _BUCKET_CAP)
+    tiny_small_pairs = (
+        t_small.select(F.col("doc_id").alias("doc_a"))
+        .join(t_small.select(F.col("doc_id").alias("doc_b")))
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+    w_tiny_chain = Window.partitionBy(F.lit(0)).orderBy("doc_id")
+    tiny_big_pairs = (
+        tiny.filter(F.col("m") > _BUCKET_CAP)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.filter(
+                F.array(
+                    *[
+                        F.lead("doc_id", j).over(w_tiny_chain)
+                        for j in range(1, _BAND_WINDOW + 1)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("succs"),
+        )
+        .select("doc_a", F.explode("succs").alias("doc_b"))
+    )
+    tiny_pairs = tiny_small_pairs.unionByName(tiny_big_pairs)
 
+    # verify joins: the titles table is one row per document, so the
+    # broadcast hints below hold only while |docs| × ~28 B fits the
+    # broadcast budget (same demotion contract as
+    # _jaccard_pairs_from_candidates: at corpus sizes where the doc
+    # table outgrows broadcast, DROP the hints and the identical plan
+    # becomes two shuffle joins on the narrow candidate pairs)
     titles = d.select("doc_id", "title")
     both = (
         candidates.unionByName(tiny_pairs)

@@ -447,9 +447,11 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "ann_ivf_exact_rerank",     # 1-row centroid-array + 16-row cents broadcast
         # tiny-title bucket (len < d+1): every such pair is within
         # distance d by construction, so the all-pairs join IS the
-        # output (inherently quadratic in the — degenerate, near-empty
-        # -doc — tiny-title count); the PassJoin path carries all
-        # titles of len >= d+1
+        # output — but since round 6 that join runs only while the
+        # bucket holds <= _BUCKET_CAP docs (two-path split; larger
+        # buckets demote to a lead-window chain), so the planned
+        # cross join is count-bounded, not corpus-bounded; the
+        # PassJoin path carries all titles of len >= d+1
         "fuzzy_title_pairs",
     }
     offenders = {}
