@@ -91,6 +91,10 @@ HEADLINE = [
     # round-5 additions
     "ann_ivf_exact_rerank",
     "dedup_simhash",
+    # round-6 addition: the repo's slowest operator belongs in the
+    # official record (r05 verdict item 2) — PassJoin edit-distance
+    # join, rewritten this round with hashed keys + inline verify
+    "fuzzy_title_pairs",
 ]
 
 

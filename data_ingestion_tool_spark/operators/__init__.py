@@ -51,67 +51,74 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-6 ROTATION PLAN: once CORRECTNESS_r05 lands 50/50, every
-#: oracle-paired query has a cumulative driver-green row. r06 should
-#: be a pure regression rotation: the r02-green text/dedup/events
-#: families (text_quality, token_counts, doc_* and dedup_* entries,
-#: the six repaired events queries) that will then be four rounds
-#: unchecked — still oracle-paired only; rows-only stays out.
+#: ROUND-6 ROTATION (executed; round-5 verdict items 1 + 4): (a)
+#: `fuzzy_title_pairs` pinned FIRST — its only driver row (r02)
+#: verified the pre-PassJoin implementation, and the round-6 inline-
+#: verify rewrite needs a fresh post-rewrite hash row; (b) the NEW
+#: oracle-paired MinHash anchor `dedup_minhash_md5` (md5 hash family
+#: → the full signatures/banding/candidates/verify pipeline is
+#: DuckDB-replayable — the sketch-twin pattern applied to the
+#: largest rows-only family); (c) the 47 remaining oracle-paired
+#: queries whose last driver-green row is r02 or earlier (four
+#: rounds unchecked — the text/dedup/events/media families plus the
+#: stragglers), stalest tier first; (d) one r03 dedup-family
+#: re-check to fill slot 50. Oracle-paired entries only — rows-only
+#: entries record as `no_oracle` reds and never take a slot.
 _FRONT = [
-    # (a) sealed-window round-4 additions, first driver rows
-    "concurrent_sessions",
-    "grouped_price_elasticity",
-    "market_basket_brand_pairs",
-    "seasonal_value_anomalies",
-    # (b) repaired + new this round
-    "event_attribution_last_touch",
-    "ann_ivf_exact_rerank",
-    # (c) r01/r02 regression re-checks (driver-green in r1/r2, not
-    # re-hashed since; cheap relational families)
-    "pricing_summary",
-    "revenue_by_nation",
-    "customer_order_stats",
-    "top_revenue_orders",
-    "top_orders",
-    "topk_orders_per_customer",
-    "priciest_order_per_priority",
-    "orders_customers_full",
-    "orders_right_join_customers",
-    "orders_global_sort",
-    "orders_in_subquery",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "supplier_balance_pairs",
-    "region_nation_cross",
-    "promo_revenue",
-    "calendar_dim",
-    "null_safe_compare",
-    "pivot_status_counts",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_collect_sets",
-    "agg_median_percentiles",
-    "agg_quantiles",
-    "set_union_customers",
-    "set_union_all_customers",
-    "set_intersect_customers",
-    "set_except_customers",
-    "window_rank_orders",
-    "window_lag_orders",
-    "window_running_total",
-    "window_ntile_orders",
-    "window_range_frame",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_conditional_funcs",
-    "scalar_map_funcs",
-    "scalar_regex_extract",
-    "scalar_array_map_funcs",
-    "scalar_json_events",
-    "scalar_variant_events",
-    "user_funnel",
+    # (a) post-rewrite re-pin (r05 verdict item 1)
+    "fuzzy_title_pairs",
+    # (b) new md5 LSH anchor (r05 verdict item 4)
+    "dedup_minhash_md5",
+    # (c) last green r01/r02 — four-round regression sweep
+    "agg_statistics",
+    "agg_trimmed_mean_pandas",
+    "ann_bruteforce_topk",
+    "asof_last_event",
+    "decontaminate_ngram_overlap",
+    "dedup_exact_docs",
+    "dedup_first_event",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_train_split",
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "events_gap_fill",
+    "explode_event_props",
+    "incremental_hourly_counts",
+    "lang_id",
+    "lateral_top_orders",
+    "media_audio_samples",
+    "media_decode_shapes",
+    "media_feature_norms",
+    "media_frame_sample",
+    "media_resize_shapes",
+    "multires_rollup",
+    "normalize_text",
+    "orders_above_customer_avg",
+    "orders_exists_subquery",
+    "pack_token_budget",
+    "purchases_after_clicks",
+    "quality_score_linear",
+    "redact_pii",
+    "repetition_score",
+    "salted_revenue_by_priority",
+    "scd2_user_history",
+    "session_windows",
+    "set_except_all_customers",
+    "set_intersect_all_customers",
+    "sliding_hourly",
+    "text_quality",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_purchasers",
+    "training_data_pipeline",
+    "tumbling_hourly",
+    "unpivot_lineitem_metrics",
+    "validate_lineitem",
+    # (d) r03 dedup-family fill
+    "media_dedup_exact",
 ]
 
 

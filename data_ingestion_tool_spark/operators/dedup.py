@@ -415,6 +415,118 @@ def minhash_lsh_candidates(
     return out
 
 
+_MD5_K = 16  # hash-family size of the md5 anchor twin
+_MD5_BANDS = 4  # 4 bands x 4 rows
+
+
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PAIRED MinHash+LSH twin: same signatures → banding →
+    candidates → exact-Jaccard-verify pipeline as
+    :func:`dedup_minhash_lsh`, but every hash is md5-derived —
+    h_i(shingle) = md5('i|' || shingle), band value =
+    md5(h_a||'|'||…) — so signatures, band buckets, candidate pairs,
+    and the verified output are ALL reproducible in ANSI SQL and the
+    driver's DuckDB oracle hash-checks the full LSH pipeline
+    cross-engine (the sketch-tier twin pattern of ``exact_user_reach``
+    / ``ann_ivf_exact_rerank``, applied to the largest rows-only
+    family).
+
+    This is the correctness anchor, not the production path:
+    ``dedup_minhash_lsh`` keeps the seeded-xxhash64 family (one
+    string hash per shingle instead of K=16 md5 passes) and the
+    two-path hot-bucket cap; the anchor keeps the complete band
+    self-join precisely because the oracle must replay it verbatim.
+    Same scale shape otherwise — posting explode, K map-side min
+    aggregates in ONE doc-keyed shuffle, band equi-join, broadcast
+    verify."""
+    docs = _docs(spark, sf_dir)
+    sets = shingle_sets(docs)
+    posting = sets.select("doc_id", F.explode("shingles").alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(_MD5_K)
+    ]
+    sigs = posting.groupBy("doc_id").agg(*aggs)
+    rows = _MD5_K // _MD5_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows + j}") for j in range(rows)]
+            )
+        ).alias(f"band{b}")
+        for b in range(_MD5_BANDS)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(_MD5_BANDS))
+    long_form = banded.selectExpr(
+        "doc_id", f"stack({_MD5_BANDS}, {stack_expr}) AS (band_idx, band_val)"
+    )
+    candidates = (
+        long_form.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+        .join(
+            long_form.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+            ),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs_from_candidates(candidates, sets)
+
+
+def _minhash_md5_sql() -> str:
+    rows = _MD5_K // _MD5_BANDS
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(_MD5_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_val FROM sig".format(
+            b=b,
+            cat=" || '|' || ".join(
+                f"h{b * rows + j}" for j in range(rows)
+            ),
+        )
+        for b in range(_MD5_BANDS)
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)-1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+post AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM post GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.6
+"""
+
+
+DEDUP_MINHASH_MD5_SQL = _minhash_md5_sql()
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering (connected components)
 # ---------------------------------------------------------------------------
@@ -721,12 +833,19 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pigeonhole: split a string into d+1 segments — any string within
     edit distance d must contain one segment VERBATIM, shifted by at
     most d positions (each edit shifts later positions by ≤ 1). So
-    the index side emits its d+1 segments keyed by (target length,
-    segment idx, content); the probe side emits, for every candidate
-    partner length L' ∈ [len−d, len+d], the substrings at each
-    segment's position ± d — a bounded ≤ (2d+1)²·(d+1) ≈ 75-key
-    fan-out per row — and candidates come from the EQUI join on
-    (L', idx, content). Round-5 scale audit rationale: the previous
+    the index side emits its d+1 segments keyed by
+    xxhash64(length, segment idx, content); the probe side joins each
+    doc against the DISTINCT index lengths within reach (a broadcast
+    of ≤ {p}+1 ints at any corpus size, direction-halved: the longer
+    side probes) and emits the substrings at each segment's position
+    ± d for that one concrete target length — a bounded
+    ≤ (2d+1)·(d+1) = 15-key fan-out per (doc, length) row — and
+    candidates come from the EQUI join on the hashed key, verified
+    INLINE on the matched rows (titles ride the join; the exact
+    Levenshtein filter runs before the pair distinct, which beats
+    dedup-then-rejoin ~3× on low-entropy corpora where short shared
+    segments make candidate precision poor). Round-5 scale audit
+    rationale: the previous
     length-band blocking had a FIXED ~{p}/(d+1) band space, so
     buckets grew linearly with the corpus and the band join
     quadratically (it did not finish the 10× audit); PassJoin keys
@@ -744,77 +863,93 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected for clustering without the m² plan).
     """
     k = _FUZZY_MAX_DIST + 1
+    D = _FUZZY_MAX_DIST
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring(F.trim("text"), 1, _FUZZY_PREFIX).alias("title"),
     ).withColumn("len", F.length("title").cast("int"))
 
-    # ---- index side: the d+1 segments of every title of len >= k
+    # ---- index side: the d+1 segments of every title of len >= k,
+    # keyed by xxhash64(len, seg, content) — 8-byte join keys instead
+    # of a (int, int, string) struct, so the candidate shuffle stays
+    # narrow while titles ride along for the inline verify
     idx_entries = []
     for i in range(k):
         start, ln = _fuzzy_seg(F.col("len"), i)
         idx_entries.append(
             F.when(
                 F.col("len") >= k,
-                F.struct(
-                    F.col("len").alias("L"),
-                    F.lit(i).alias("seg"),
-                    F.substring("title", start, ln).alias("content"),
+                F.xxhash64(
+                    F.col("len"), F.lit(i), F.substring("title", start, ln)
                 ),
             )
         )
     index = d.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("title").alias("title_b"),
+        F.col("title").alias("tb"),
         F.explode(
             F.filter(F.array(*idx_entries), lambda x: x.isNotNull())
         ).alias("key"),
     )
 
-    # ---- probe side: substrings at every compatible (L', seg, shift)
+    # ---- probe side. Enumerating all |L'-len| <= d targets inline
+    # exploded into a 105-branch expression (round 5); instead join
+    # each doc against the DISTINCT INDEX LENGTHS within reach — a
+    # broadcast of <= _FUZZY_PREFIX+1 ints at any corpus size — so
+    # each (doc, idx_len) row evaluates only the (d+1)·(2d+1) = 15
+    # live branches for that concrete target length. Direction-halved
+    # (standard PassJoin): only the longer side probes
+    # (idx_len <= len); every pair has a max-length member, so this
+    # is lossless — except tiny docs (len < k, no index entries of
+    # their own), which must still probe upward to catch
+    # tiny-vs-normal pairs within distance d.
+    lens = (
+        d.filter(F.col("len") >= k)
+        .select(F.col("len").alias("idx_len"))
+        .distinct()
+    )
     probe_entries = []
-    for dL in range(-_FUZZY_MAX_DIST, _FUZZY_MAX_DIST + 1):
-        target = F.col("len") + dL
-        for i in range(k):
-            start, ln = _fuzzy_seg(target, i)
-            for delta in range(-_FUZZY_MAX_DIST, _FUZZY_MAX_DIST + 1):
-                pos = start + delta
-                valid = (
-                    (target >= k)
-                    & (pos >= 1)
-                    & (pos + ln - 1 <= F.col("len"))
+    for i in range(k):
+        start, ln = _fuzzy_seg(F.col("idx_len"), i)
+        for delta in range(-D, D + 1):
+            pos = start + delta
+            valid = (pos >= 1) & (pos + ln - 1 <= F.col("len"))
+            probe_entries.append(
+                F.when(
+                    valid,
+                    F.xxhash64(
+                        F.col("idx_len"),
+                        F.lit(i),
+                        F.substring("title", pos, ln),
+                    ),
                 )
-                probe_entries.append(
-                    F.when(
-                        valid,
-                        F.struct(
-                            target.cast("int").alias("L"),
-                            F.lit(i).alias("seg"),
-                            F.substring("title", pos, ln).alias("content"),
-                        ),
-                    )
-                )
-    probe = d.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("title").alias("title_a"),
-        F.explode(
-            F.array_distinct(
-                F.filter(F.array(*probe_entries), lambda x: x.isNotNull())
             )
-        ).alias("key"),
+    reach = (F.col("idx_len") >= F.col("len") - D) & (
+        F.col("idx_len") <= F.col("len") + D
+    )
+    halved = (F.col("idx_len") <= F.col("len")) | (F.col("len") < k)
+    probe = (
+        d.join(F.broadcast(lens), reach & halved)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("title").alias("ta"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.array(*probe_entries), lambda x: x.isNotNull())
+                )
+            ).alias("key"),
+        )
     )
 
-    # distinct on the NARROW id pair (a candidate matches on up to
-    # (d+1)·(2d+1) keys — deduping before the titles rejoin keeps the
-    # shuffle 16 bytes/row, the jaccard-verify discipline)
-    candidates = (
+    # inline verify: titles already ride the matched rows, so the
+    # exact Levenshtein filter runs BEFORE the distinct — candidate
+    # quality on low-entropy corpora is poor (short shared segments),
+    # and filtering ~99% of matches first beats deduping them, then
+    # re-joining titles back on (measured 3x at sf0.1)
+    seg_pairs = (
         probe.join(index, "key")
         .filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-        )
-        .distinct()
+        .select("doc_a", "doc_b", "ta", "tb")
     )
 
     # ---- tiny titles (len < k): all within distance d of each other,
@@ -831,64 +966,57 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_tiny = Window.partitionBy(F.lit(0))
     tiny = (
         d.filter(F.col("len") < k)
-        .select("doc_id")
+        .select("doc_id", "title")
         .withColumn("m", F.count(F.lit(1)).over(w_tiny))
     )
     t_small = tiny.filter(F.col("m") <= _BUCKET_CAP)
     tiny_small_pairs = (
-        t_small.select(F.col("doc_id").alias("doc_a"))
-        .join(t_small.select(F.col("doc_id").alias("doc_b")))
+        t_small.select(
+            F.col("doc_id").alias("doc_a"), F.col("title").alias("ta")
+        )
+        .join(
+            t_small.select(
+                F.col("doc_id").alias("doc_b"), F.col("title").alias("tb")
+            )
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
     w_tiny_chain = Window.partitionBy(F.lit(0)).orderBy("doc_id")
+    me = F.struct(F.col("doc_id").alias("id"), F.col("title").alias("t"))
     tiny_big_pairs = (
         tiny.filter(F.col("m") > _BUCKET_CAP)
         .select(
-            F.col("doc_id").alias("doc_a"),
+            me.alias("x"),
             F.filter(
                 F.array(
                     *[
-                        F.lead("doc_id", j).over(w_tiny_chain)
+                        F.lead(me, j).over(w_tiny_chain)
                         for j in range(1, _BAND_WINDOW + 1)
                     ]
                 ),
                 lambda x: x.isNotNull(),
             ).alias("succs"),
         )
-        .select("doc_a", F.explode("succs").alias("doc_b"))
+        .select("x", F.explode("succs").alias("y"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.t").alias("ta"),
+            F.col("y.t").alias("tb"),
+        )
     )
     tiny_pairs = tiny_small_pairs.unionByName(tiny_big_pairs)
 
-    # verify joins: the titles table is one row per document, so the
-    # broadcast hints below hold only while |docs| × ~28 B fits the
-    # broadcast budget (same demotion contract as
-    # _jaccard_pairs_from_candidates: at corpus sizes where the doc
-    # table outgrows broadcast, DROP the hints and the identical plan
-    # becomes two shuffle joins on the narrow candidate pairs)
-    titles = d.select("doc_id", "title")
-    both = (
-        candidates.unionByName(tiny_pairs)
-        .join(
-            F.broadcast(
-                titles.select(
-                    F.col("doc_id").alias("doc_a"), F.col("title").alias("ta")
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                titles.select(
-                    F.col("doc_id").alias("doc_b"), F.col("title").alias("tb")
-                )
-            ),
-            "doc_b",
-        )
-    )
     return (
-        both.withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        seg_pairs.unionByName(tiny_pairs)
+        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
         .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
-        .select("doc_a", "doc_b", "edit_dist")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "edit_dist",
+        )
+        .distinct()
     )
 
 
@@ -1440,6 +1568,9 @@ SPECS: list[QuerySpec] = [
               "near-dup pairs via 3-gram Jaccard inverted index", ("dedup",)),
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None,
               "near-dup pairs via MinHash banding + exact verify", ("dedup",)),
+    QuerySpec("dedup_minhash_md5", dedup_minhash_md5, DEDUP_MINHASH_MD5_SQL,
+              "oracle-paired MinHash LSH twin (md5 hash family)",
+              ("dedup",)),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "near-dup pairs via SimHash band blocking", ("dedup",)),
     QuerySpec("dedup_near_clusters", dedup_near_clusters,
