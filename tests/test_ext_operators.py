@@ -249,6 +249,40 @@ def test_blocked_near_dup_equals_broadcast_kernel(spark):
     assert a == b and a
 
 
+def test_near_dup_chance_mass_envelope_guard(spark):
+    """The threshold/dimension operating envelope (round-6): the
+    chance-pair estimator matches the Gaussian-tail math, and the
+    guard warns exactly when the cutoff sits under the 6σ envelope
+    floor — test-corpus d=64 at τ=0.45 is only 3.6σ out and MUST
+    warn; production-dim d=768 at the same τ is 12.5σ and must not —
+    and running the operator on the d=64 corpus surfaces the warning
+    without changing its output."""
+    import math
+    import warnings
+
+    import pytest
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _estimated_chance_pairs,
+        _warn_if_chance_dominated,
+        embedding_near_dup,
+    )
+
+    n = 6000
+    p64 = 0.5 * math.erfc(0.45 * math.sqrt(64) / math.sqrt(2.0))
+    assert _estimated_chance_pairs(n, 64, 0.45) == pytest.approx(
+        0.5 * n * (n - 1) * p64
+    )
+    with pytest.warns(RuntimeWarning, match="chance pairs"):
+        assert _warn_if_chance_dominated(n, 64, 0.45, op="t") is True
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert _warn_if_chance_dominated(n, 768, 0.45, op="t") is False
+
+    with pytest.warns(RuntimeWarning, match="embedding_near_dup"):
+        assert embedding_near_dup(spark, SF_CORRECT).count() > 0
+
+
 def test_embedding_outliers_are_sparse_and_far(spark):
     """Outliers: a small tail (2σ rule ⇒ well under 10%), every flagged
     vector strictly farther than its label's mean distance."""
