@@ -52,6 +52,14 @@ _BAND_WINDOW = 16
 #: bucket); larger buckets demote to the sorted lead-window chains.
 _BUCKET_CAP = 64
 SIMHASH_MAX_HAMMING = 6
+#: PassJoin hot-segment bound (``fuzzy_title_pairs``): segment keys
+#: indexed by more than this many titles (boilerplate prefixes —
+#: "Copyright ", a shared template head) demote from the complete
+#: candidate equi-join to a sorted lead-window chain, the same
+#: two-path discipline as the LSH band buckets. Sized above the
+#: honest per-key maximum of every tested SF (sf0.1: 192) so the
+#: oracle-exact output is unchanged where the oracle runs.
+_SEG_BUCKET_CAP = 256
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +860,14 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are content-based, so bucket sizes track true near-dup families,
     not corpus size. Same output, exact Levenshtein verify.
 
+    Hot segment keys (> ``_SEG_BUCKET_CAP`` index members — the
+    boilerplate-prefix class: titles sharing a common first word at
+    corpus scale) demote from the complete equi-join to a sorted
+    lead-window chain over the key's members, the LSH hot-bucket
+    discipline applied to PassJoin: per-key work m·W instead of m²,
+    verified families stay connected, output oracle-exact wherever no
+    key exceeds the cap (all tested SFs; sf0.1 max is 192).
+
     Titles shorter than d+1 chars can't form d+1 non-empty segments;
     any two such titles are within distance d by construction
     (lev ≤ max(len)), so they pair through one constant-key bucket.
@@ -941,16 +957,83 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ---- hot-segment two-path split. A segment key shared by a huge
+    # title family (boilerplate prefixes — every corpus has titles
+    # starting "Copyright ", "Subject: ") makes the candidate
+    # equi-join quadratic IN THAT KEY: m index rows × ~m probe rows
+    # land in one task (the 100× audit caught exactly this — a
+    # 19k-member first-word bucket pinned one straggler task for
+    # >10 min). Same discipline as the LSH band buckets: keys with
+    # ≤ _SEG_BUCKET_CAP index members keep the complete, oracle-exact
+    # join; hotter keys demote to a sorted lead-window chain over the
+    # key's members (titles sharing a verbatim segment sort their
+    # lev ≤ d partners adjacent — near-identical strings are
+    # lexicographic neighbors), bounding per-key work to m·W while
+    # the verified families stay connected for clustering. Sizes come
+    # from a narrow groupBy-count joined back on (measured ~1 s
+    # cheaper at sf0.1 than a per-key count window, which sorts the
+    # full index by key).
+    from pyspark.sql import Window
+
+    sizes = index.groupBy("key").agg(F.count(F.lit(1)).alias("m"))
+    idx_sized = index.join(sizes, "key")
+
     # inline verify: titles already ride the matched rows, so the
     # exact Levenshtein filter runs BEFORE the distinct — candidate
     # quality on low-entropy corpora is poor (short shared segments),
     # and filtering ~99% of matches first beats deduping them, then
     # re-joining titles back on (measured 3x at sf0.1)
     seg_pairs = (
-        probe.join(index, "key")
+        probe.join(
+            idx_sized.filter(F.col("m") <= _SEG_BUCKET_CAP).drop("m"),
+            "key",
+        )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "ta", "tb")
     )
+
+    # hot keys: chain the key's member set (index members ∪ probe
+    # rows that reach the key) in (title, doc_id) order — both join
+    # sides hash-partition by the same key, so the probe/index
+    # exchanges are shared with the small path via ReusedExchange
+    hot_idx = idx_sized.filter(F.col("m") > _SEG_BUCKET_CAP)
+    hot_members = (
+        hot_idx.select(
+            "key", F.col("doc_b").alias("doc_id"), F.col("tb").alias("title")
+        )
+        .unionByName(
+            probe.join(hot_idx.select("key").distinct(), "key").select(
+                "key",
+                F.col("doc_a").alias("doc_id"),
+                F.col("ta").alias("title"),
+            )
+        )
+        .distinct()
+    )
+    w_hot = Window.partitionBy("key").orderBy("title", "doc_id")
+    me_hot = F.struct(F.col("doc_id").alias("id"), F.col("title").alias("t"))
+    hot_pairs = (
+        hot_members.select(
+            me_hot.alias("x"),
+            F.filter(
+                F.array(
+                    *[
+                        F.lead(me_hot, j).over(w_hot)
+                        for j in range(1, _BAND_WINDOW + 1)
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("succs"),
+        )
+        .select("x", F.explode("succs").alias("y"))
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.t").alias("ta"),
+            F.col("y.t").alias("tb"),
+        )
+    )
+    seg_pairs = seg_pairs.unionByName(hot_pairs)
 
     # ---- tiny titles (len < k): all within distance d of each other,
     # so they form ONE bucket whose complete pair set is inherently

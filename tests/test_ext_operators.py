@@ -1095,3 +1095,55 @@ def test_blocked_kernel_survives_structured_ids(spark):
         .collect()
     )
     assert len(blks) == 2 and all(r["count"] > 0 for r in blks)
+
+
+def test_fuzzy_hot_segment_bucket_is_bounded_and_connected(spark, tmp_path):
+    """Round-6 scale-audit regression: a segment key indexed by a huge
+    title family (boilerplate prefix — at 100x the audit corpus had a
+    19k-member first-word bucket that pinned one straggler task for
+    >10 min) must NOT run the complete candidate equi-join. Above
+    _SEG_BUCKET_CAP the key demotes to a sorted lead-window chain:
+    pair output stays far below m²/2 and the verified family must
+    still CONNECT (transitive closure recovers it downstream)."""
+    from data_ingestion_tool_spark.operators.dedup import (
+        _SEG_BUCKET_CAP,
+        fuzzy_title_pairs,
+    )
+
+    # 600 docs whose 20-char titles share 19 chars and differ only in
+    # one trailing char drawn from a 30-symbol alphabet disjoint from
+    # the common chars: every pair is within lev <= 1 (true pair set =
+    # the complete graph, C(600,2) ~ 180k), and segments 0 and 1 are
+    # verbatim-shared by all 600 docs -> two hot keys
+    m = _SEG_BUCKET_CAP + 344  # 600
+    alphabet = "0123456789ABCDEFGHIJKLMNOPQRST"
+    common = "the quick brown fox"  # 19 chars, disjoint from alphabet
+    rows = [(i, common + alphabet[i % len(alphabet)]) for i in range(m)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    pairs = fuzzy_title_pairs(spark, sf_dir).collect()
+    assert pairs, "hot path emitted nothing"
+    # bound: hot-key chains (<= m*W per hot key) + the under-cap
+    # trailing-segment groups' complete within-group joins — far
+    # below the m²/2 ~ 180k of the unbounded join
+    assert len(pairs) < 40_000, (
+        f"{len(pairs)} pairs — hot-segment bound broken"
+    )
+    for r in pairs:
+        assert r["edit_dist"] <= 2
+
+    # connectivity: the family must stay one component
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            parent[a] = b
+    roots = {find(i) for i in range(m)}
+    assert len(roots) == 1, f"family split into {len(roots)} components"

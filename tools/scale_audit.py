@@ -231,6 +231,7 @@ def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
             ).save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+        print(f"  timed {name} @ {sf_dir}: {best:.3f}s", flush=True)
         # several operators persist intermediates as part of their
         # plan (a cost the timing above counts); drop them so block
         # storage doesn't accumulate across the 2·|names| timings and
