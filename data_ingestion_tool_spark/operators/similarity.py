@@ -729,7 +729,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself stays O(threshold) however large the table is
     over = emb.select("vec_id").limit(_BROADCAST_MAX_VECTORS + 1).count()
     if over > _BROADCAST_MAX_VECTORS:
-        return embedding_near_dup_blocked(spark, sf_dir)
+        # auto-size the grid so one block stays ~_BLOCK_TARGET_ROWS
+        # rows whatever the corpus: the exact count is one columnar
+        # metadata-cheap job, only paid on the demotion path
+        n = emb.select("vec_id").count()
+        n_blocks = max(_GRID_BLOCKS, -(-n // _BLOCK_TARGET_ROWS))
+        return embedding_near_dup_blocked(spark, sf_dir, n_blocks=n_blocks)
 
     def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         ids = pdf["vec_id"].to_numpy(np.int64)
@@ -750,7 +755,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # slab the GEMM so the score matrix stays ~128 MB float64
         # (16M cells) however large the broadcast side is — one full
         # Arrow batch (10k rows) against 200k vectors is 16 GB flat
-        slab = max(1, 16_777_216 // max(1, nb.shape[0]))
+        slab = max(1, _SCORE_SLAB_CELLS // max(1, nb.shape[0]))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -864,6 +869,21 @@ def label_top_eigenvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRID_BLOCKS = 4
 
+#: GEMM slab bound shared by the broadcast and grid kernels: score
+#: matrices are computed in row slabs of ≤ this many float64 cells
+#: (~128 MB), so neither the Arrow batch size nor the block size
+#: dictates kernel memory. Module-level so tests can shrink it to
+#: force the multi-slab path at test scale.
+_SCORE_SLAB_CELLS = 16_777_216
+
+#: auto-sizing target when a caller demotes to the grid without a
+#: hand-picked ``n_blocks``: one block ≈ this many rows, so a
+#: two-block task matrix is ~256 MB float64 at d=64 (shrink the
+#: target for much wider embeddings). Row replication across block
+#: pairs is n_blocks×, i.e. n²/target rows shuffled total — growing
+#: strictly slower than the O(n²·d) kernel FLOPs it feeds.
+_BLOCK_TARGET_ROWS = 250_000
+
 
 def blocked_cosine_pairs(
     df: DataFrame,
@@ -886,9 +906,11 @@ def blocked_cosine_pairs(
     bounded-factor shuffle, no broadcast), then ``applyInPandas``
     runs one BLAS kernel per block pair (triangle within a diagonal
     block, full rectangle across blocks). Choose ``n_blocks`` so two
-    blocks fit executor memory: total work is the same O(n²d) flops
-    as the broadcast kernel, spread over n_blocks·(n_blocks+1)/2
-    independent tasks.
+    blocks fit executor memory (or let the demotion path auto-size to
+    ``_BLOCK_TARGET_ROWS``-row blocks): total work is the same O(n²d)
+    flops as the broadcast kernel, spread over n_blocks·(n_blocks+1)/2
+    independent tasks, and the per-pair GEMM runs in ~128 MB score
+    slabs so block size never dictates kernel memory.
 
     ``group_cols`` restricts the pair search to rows sharing those
     columns (e.g. a cluster label): grouping becomes
@@ -933,17 +955,40 @@ def blocked_cosine_pairs(
         m = m / norms
         side_i = pdf["blk"].to_numpy() == bi
         if bi == bj:
-            scores = m @ m.T
+            mi, ii = m, ids
+            mj, jj = m, ids
+        else:
+            mi, ii = m[side_i], ids[side_i]
+            mj, jj = m[~side_i], ids[~side_i]
+        # slab the GEMM so the score matrix stays ~128 MB float64
+        # (16M cells) whatever the block size — a diagonal block at
+        # the 1M-vector demotion threshold is 250k×250k = 500 GB of
+        # scores computed flat (the same unbounded-slab class the
+        # round-6 audit caught in the broadcast kernel)
+        slab = max(1, _SCORE_SLAB_CELLS // max(1, len(jj)))
+        out_a, out_b = [], []
+        mjt = mj.T
+        for s in range(0, len(ii), slab):
+            ids_s = ii[s : s + slab]
+            scores = mi[s : s + slab] @ mjt
             ia, ib = np.nonzero(scores >= threshold)
-            keep = ids[ia] < ids[ib]
-            return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep]})
-        mi, ii = m[side_i], ids[side_i]
-        mj, jj = m[~side_i], ids[~side_i]
-        scores = mi @ mj.T
-        ia, ib = np.nonzero(scores >= threshold)
-        a, b = ii[ia], jj[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+            a, b = ids_s[ia], jj[ib]
+            if bi == bj:
+                # the diagonal block sees each unordered pair as TWO
+                # mirrored hits — strict < keeps exactly one
+                keep = a < b
+                out_a.append(a[keep])
+                out_b.append(b[keep])
+            else:
+                # disjoint sides: each pair appears once; order it
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+            }
+        )
 
     return exploded.groupBy(*group_cols, "bi", "bj").applyInPandas(
         kernel, "id_a long, id_b long"

@@ -249,6 +249,34 @@ def test_blocked_near_dup_equals_broadcast_kernel(spark):
     assert a == b and a
 
 
+def test_gemm_slab_path_preserves_pair_sets(spark, monkeypatch):
+    """Round-6 audit fix: both all-pairs kernels run their GEMM in
+    bounded score slabs. At test scale one slab covers everything, so
+    shrink the slab bound until every batch/block needs MANY slabs and
+    assert both kernels still emit the identical pair set — in
+    particular the diagonal block's strict-< mirror dedup must hold
+    per slab, not per block."""
+    from data_ingestion_tool_spark.operators import similarity as S
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup(spark, SF_CORRECT).collect()
+    }
+    assert base
+    # 64 cells / |broadcast side| rows ⇒ slab = 1 row: maximal slicing
+    monkeypatch.setattr(S, "_SCORE_SLAB_CELLS", 64)
+    sliced_bcast = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup(spark, SF_CORRECT).collect()
+    }
+    sliced_grid = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_blocked(spark, SF_CORRECT).collect()
+    }
+    assert sliced_bcast == base
+    assert sliced_grid == base
+
+
 def test_near_dup_chance_mass_envelope_guard(spark):
     """The threshold/dimension operating envelope (round-6): the
     chance-pair estimator matches the Gaussian-tail math, and the
