@@ -110,6 +110,14 @@ DEFAULT_QUERIES = [
 def build_scaled(
     spark, base: str, out: str, factor: int, with_text: bool = False
 ) -> None:
+    # Write every replicated table at session parallelism: the base
+    # tables are single parquet files, and a narrow explode keeps that
+    # layout — a 76 MB 100x documents table otherwise lands as ONE
+    # scan split, serializing every scan→Python stage into one task
+    # and misattributing the audit's ratios to the operator (a real
+    # table at this size has many splits; single-file layout is a
+    # test artifact, caught in round 6).
+    n_files = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.makedirs(out, exist_ok=True)
     for t, keys in KEY_COLS.items():
         src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
@@ -121,7 +129,7 @@ def build_scaled(
             rep = rep.withColumn(
                 k, F.col(k) + F.col("_r").cast("long") * KEY_BASE
             )
-        rep.drop("_r").write.mode("overwrite").parquet(
+        rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
     for t in COPY_TABLES:
@@ -179,9 +187,9 @@ def build_scaled(
                     flipped
                 ),
             )
-        rep.drop("_r").write.mode("overwrite").parquet(
-            os.path.join(out, f"{t}.parquet")
-        )
+        rep.drop("_r").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
 
 
 #: text/vector-tier headliners for --with-text runs (documents and
