@@ -249,6 +249,30 @@ def test_blocked_near_dup_equals_broadcast_kernel(spark):
     assert a == b and a
 
 
+def test_near_dup_auto_demotion_branch_matches_broadcast(spark, monkeypatch):
+    """Force the size-guard demotion (broadcast cap far below the
+    corpus) so embedding_near_dup runs its REAL >1M-vector branch —
+    exact count, auto-sized n_blocks, grid kernel — and assert the
+    pair set is identical to the broadcast kernel's. The branch is
+    otherwise unreachable below a million vectors."""
+    from data_ingestion_tool_spark.operators import similarity as S
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup(spark, SF_CORRECT).collect()
+    }
+    assert base
+    monkeypatch.setattr(S, "_BROADCAST_MAX_VECTORS", 10)
+    # also force a non-default auto-size: target 50 rows/block on the
+    # ~200-vector corpus -> more blocks than the _GRID_BLOCKS floor
+    monkeypatch.setattr(S, "_BLOCK_TARGET_ROWS", 50)
+    demoted = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup(spark, SF_CORRECT).collect()
+    }
+    assert demoted == base
+
+
 def test_gemm_slab_path_preserves_pair_sets(spark, monkeypatch):
     """Round-6 audit fix: both all-pairs kernels run their GEMM in
     bounded score slabs. At test scale one slab covers everything, so
