@@ -98,6 +98,48 @@ HEADLINE = [
 ]
 
 
+def _calibration_probe(spark) -> dict[str, float]:
+    """Fixed-work host-state reference (see call site): returns
+    seconds for a pinned numpy GEMM, a pinned numpy sort, and a
+    trivial Spark job. Min of 3 runs each — the probe wants the
+    machine's current BEST, which is what query timings also get via
+    min-of-runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((768, 768))
+    b = rng.standard_normal((768, 768))
+
+    def _gemm10():
+        for _ in range(10):
+            np.dot(a, b)
+
+    gemm = min(_timed(_gemm10) for _ in range(3))
+    base = rng.standard_normal(1 << 22)
+    sort = min(
+        _timed(lambda: np.sort(base, kind="stable")) for _ in range(3)
+    )
+    spark_job = min(
+        _timed(
+            lambda: spark.range(1_000_000)
+            .selectExpr("sum(id * 2 + 1)")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {
+        "gemm_sec": round(gemm, 5),
+        "sort_sec": round(sort, 5),
+        "spark_job_sec": round(spark_job, 5),
+    }
+
+
+def _timed(fn) -> float:
+    start = time.perf_counter()
+    fn()
+    return time.perf_counter() - start
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -145,6 +187,17 @@ def main() -> None:
         .save()
     )
 
+    # Host-state calibration probe (r06 verdict item 3): a fixed-work
+    # reference measurement recorded IN the bench JSON so cross-round
+    # totals can be normalized for machine state (round 6 saw a
+    # uniform ~1.34× episode on untouched plans that only prose could
+    # explain). Three axes, min-of-3 each: CPU-bound numpy GEMM
+    # (BLAS/core frequency), memory-bound numpy sort (bandwidth), and
+    # a trivial JVM-side Spark job (scheduler + codegen overhead).
+    # Identical inputs every run — ratios between rounds measure the
+    # HOST, not the code.
+    calibration = _calibration_probe(spark)
+
     # Two timed runs per query, min reported: single-run local[32]
     # numbers swing 2× with scheduler/CPU-frequency noise at small SF;
     # the min is the reproducible steady-state cost of the plan.
@@ -170,6 +223,7 @@ def main() -> None:
         "sf": sf_num,
         "runs": runs,
         "n_queries": len(names),
+        "calibration": calibration,
     }
     # Full-precision record → stderr + a repo file: the driver's tail
     # capture keeps only the LAST 2000 stdout chars, and the round-4

@@ -51,74 +51,79 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-6 ROTATION (executed; round-5 verdict items 1 + 4): (a)
-#: `fuzzy_title_pairs` pinned FIRST — its only driver row (r02)
-#: verified the pre-PassJoin implementation, and the round-6 inline-
-#: verify rewrite needs a fresh post-rewrite hash row; (b) the NEW
-#: oracle-paired MinHash anchor `dedup_minhash_md5` (md5 hash family
-#: → the full signatures/banding/candidates/verify pipeline is
-#: DuckDB-replayable — the sketch-twin pattern applied to the
-#: largest rows-only family); (c) the 47 remaining oracle-paired
-#: queries whose last driver-green row is r02 or earlier (four
-#: rounds unchecked — the text/dedup/events/media families plus the
-#: stragglers), stalest tier first; (d) one r03 dedup-family
-#: re-check to fill slot 50. Oracle-paired entries only — rows-only
-#: entries record as `no_oracle` reds and never take a slot.
+#: ROUND-7 ROTATION (executed; round-6 verdict items 1 + 4): (a) the
+#: NEW oracle-paired SimHash anchor `dedup_simhash_md5` (same
+#: production signature kernel, complete band join — the last big
+#: rows-only dedup family gets a DuckDB-replayable twin); (b) the
+#: three kernel-touched consumers whose last driver rows (r04)
+#: predate the round-6 `blocked_cosine_pairs` slab/demotion changes:
+#: `user_activity_similarity`, `semantic_dedup`, `dedup_near_clusters`;
+#: (c) the two operators this round's scale switches touched:
+#: `winsorized_prices` (percentile_approx auto-switch — exact path
+#: must stay oracle-green) and `concurrent_sessions` (auto bucket
+#: width — output is width-invariant, re-pinned anyway); (d) 44 of
+#: the 47 remaining oracle-paired queries whose last green row is
+#: r03 (four rounds unchecked), alphabetical; the three deferred to
+#: r08 (`dq_value_bounds`, `tpch_q6_forecast_revenue`,
+#: `value_histogram` — the simplest single-agg plans in the stale
+#: tier, still pytest-oracle-checked every run) fill the next
+#: window. Oracle-paired entries only — rows-only entries record as
+#: `no_oracle` reds and never take a slot.
 _FRONT = [
-    # (a) post-rewrite re-pin (r05 verdict item 1)
-    "fuzzy_title_pairs",
-    # (b) new md5 LSH anchor (r05 verdict item 4)
-    "dedup_minhash_md5",
-    # (c) last green r01/r02 — four-round regression sweep
-    "agg_statistics",
-    "agg_trimmed_mean_pandas",
-    "ann_bruteforce_topk",
-    "asof_last_event",
-    "decontaminate_ngram_overlap",
-    "dedup_exact_docs",
-    "dedup_first_event",
-    "dedup_ngram_jaccard",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_train_split",
-    "embedding_near_dup",
-    "embedding_near_dup_blocked",
-    "events_gap_fill",
-    "explode_event_props",
-    "incremental_hourly_counts",
-    "lang_id",
-    "lateral_top_orders",
-    "media_audio_samples",
-    "media_decode_shapes",
-    "media_feature_norms",
-    "media_frame_sample",
-    "media_resize_shapes",
-    "multires_rollup",
-    "normalize_text",
-    "orders_above_customer_avg",
-    "orders_exists_subquery",
-    "pack_token_budget",
-    "purchases_after_clicks",
-    "quality_score_linear",
-    "redact_pii",
-    "repetition_score",
-    "salted_revenue_by_priority",
-    "scd2_user_history",
-    "session_windows",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "sliding_hourly",
-    "text_quality",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_counts",
-    "top_purchasers",
-    "training_data_pipeline",
-    "tumbling_hourly",
-    "unpivot_lineitem_metrics",
-    "validate_lineitem",
-    # (d) r03 dedup-family fill
-    "media_dedup_exact",
+    # (a) new md5 SimHash anchor (r06 verdict item 4)
+    "dedup_simhash_md5",
+    # (b) round-6 kernel-touched consumers (r06 verdict item 1)
+    "user_activity_similarity",
+    "semantic_dedup",
+    "dedup_near_clusters",
+    # (c) round-7 scale-switch re-pins
+    "winsorized_prices",
+    "concurrent_sessions",
+    # (d) last green r03 — four-round regression sweep
+    "agg_regression",
+    "ann_filtered_topk",
+    "boilerplate_ngram_flags",
+    "contrastive_negatives",
+    "corpus_prep_pipeline",
+    "dedup_containment",
+    "dedup_incremental",
+    "doc_sample_balanced",
+    "dq_duplicate_linenumbers",
+    "dq_orphan_orders",
+    "dq_price_drift_psi",
+    "equi_depth_histogram",
+    "event_transition_matrix",
+    "event_value_anomalies",
+    "global_click_purchase_pairs",
+    "hierarchy_rollup_cte",
+    "idle_rich_customers",
+    "important_part_stock",
+    "join_key_skew_profile",
+    "length_bucketed_batches",
+    "media_metadata_stats",
+    "next_purchase_value",
+    "orders_snapshot_diff",
+    "point_in_time_features",
+    "profile_orders",
+    "rolling_weekly_active_users",
+    "shared_span_pairs",
+    "source_mixing_weights",
+    "source_token_entropy",
+    "temperature_mixed_sample",
+    "top_supplier_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_last_shipper",
+    "tpch_q4_late_order_priority",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_shape",
+    "unigram_logprob_scores",
+    "user_retention_cohorts",
+    "vocab_oov_rate",
 ]
 
 

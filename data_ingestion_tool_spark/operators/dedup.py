@@ -319,7 +319,9 @@ def minhash_signatures_from_docs(df: DataFrame, k: int = MINHASH_K) -> DataFrame
     return posting.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verify.
 
     Same output contract as dedup_ngram_jaccard on ordinary corpora;
@@ -342,7 +344,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     sets = shingle_sets(docs)
-    candidates = minhash_lsh_candidates(docs)
+    candidates = minhash_lsh_candidates(docs, checkpoint=checkpoint)
     return _jaccard_pairs_from_candidates(candidates, sets)
 
 
@@ -351,6 +353,7 @@ def minhash_lsh_candidates(
     *,
     band_window: int = _BAND_WINDOW,
     bucket_cap: int = _BUCKET_CAP,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The banded candidate generator behind :func:`dedup_minhash_lsh`:
     ``(doc_id, text)`` in → distinct ``(doc_a, doc_b)`` candidate pairs
@@ -358,7 +361,14 @@ def minhash_lsh_candidates(
     ≤ ``bucket_cap`` members keep the COMPLETE all-pairs join; larger
     buckets emit ≤ band_window candidates per member (see the
     caller's hot-bucket note). Separated so the blow-up bound is
-    testable on a planted duplicate-heavy corpus."""
+    testable on a planted duplicate-heavy corpus.
+
+    ``checkpoint=False`` skips the eager ``localCheckpoint`` (which
+    truncates lineage to a Scan ExistingRDD and EXECUTES the job as a
+    side effect of building the DataFrame) so plan-contract tests can
+    inspect the real candidate-generation plan; execution paths keep
+    the default, which bounds lineage and releases the persisted
+    signature table deterministically."""
     sigs = minhash_signatures_from_docs(docs)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_cols = [
@@ -416,9 +426,14 @@ def minhash_lsh_candidates(
     # persisted banded-signature table (same lifetime discipline as
     # dedup_simhash / semantic_dedup: never leave a session-pinned
     # cache behind); the checkpointed pair list is 16 bytes/row
-    out = small_pairs.unionByName(big_pairs).distinct().localCheckpoint(
-        eager=True
-    )
+    out = small_pairs.unionByName(big_pairs).distinct()
+    if not checkpoint:
+        # plan-inspection path: drop the (never-materialized) cache
+        # entry immediately so the returned plan shows the raw
+        # candidate-generation lineage, not an InMemoryRelation
+        long_form.unpersist()
+        return out
+    out = out.localCheckpoint(eager=True)
     long_form.unpersist()
     return out
 
@@ -703,12 +718,19 @@ def dedup_simhash(
     *,
     band_window: int = _BAND_WINDOW,
     bucket_cap: int = _BUCKET_CAP,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ 6: 8-bit band
     blocking (8 bands ⇒ guaranteed collision for distance ≤ 7), then
-    JVM-side ``bit_count(xor)`` verification. Hash values are
-    engine-specific (xxhash64) → rows-only check; the oracle-paired
-    exact twin for near-dup semantics is ``dedup_ngram_jaccard``.
+    JVM-side ``bit_count(xor)`` verification. The production path is
+    rows-only at the driver because the two-path hot-bucket cap below
+    is deliberately lossy on saturated corpora; the oracle-paired
+    anchor for the SAME signature kernel + banding + Hamming verify is
+    :func:`dedup_simhash_md5` (complete band join, DuckDB-replayable),
+    and the oracle-paired exact twin for near-dup semantics is
+    ``dedup_ngram_jaccard``. ``checkpoint=False`` skips the eager
+    ``localCheckpoint`` so plan tests see the real candidate plan
+    (see ``minhash_lsh_candidates``).
 
     ``bucket_cap`` / ``band_window`` expose the two-path split knobs
     (mirroring ``minhash_lsh_candidates``): pair-list consumers that
@@ -810,10 +832,120 @@ def dedup_simhash(
         small_pairs.unionByName(big_pairs)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if not checkpoint:
+        long_form.unpersist()
+        return out
+    out = out.localCheckpoint(eager=True)
     long_form.unpersist()
     return out
+
+
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-PAIRED SimHash twin: the EXACT production signature
+    kernel (:func:`simhash_column` — one md5 per distinct whitespace
+    token, first 8 digest bytes little-endian, ±1 majority vote per
+    bit), the same 8×8-bit band blocking, and the same JVM
+    ``bit_count(xor) ≤ 6`` verify as :func:`dedup_simhash` — but with
+    the COMPLETE band self-join (no hot-bucket cap) precisely so the
+    DuckDB oracle can replay every stage verbatim
+    (``md5_number_upper`` is bit-identical to the kernel's
+    little-endian first-8-bytes read) and hash-check the full
+    pipeline cross-engine. The sketch-twin pattern of
+    ``dedup_minhash_md5`` / ``exact_user_reach`` /
+    ``ann_ivf_exact_rerank``, applied to the last big rows-only dedup
+    family: a driver-green row here anchors the production kernel's
+    signatures bit-for-bit (same ``simhash_column`` call), leaving
+    only the cap policy — pytest-bounded — outside the oracle.
+
+    Correctness anchor, not the production path: ``dedup_simhash``
+    keeps the two-path hot-bucket bound for saturated corpora; the
+    anchor keeps the complete join because the oracle must replay it.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", simhash_column().alias("sim"))
+    bands = [
+        F.shiftrightunsigned(F.col("sim"), 8 * b)
+        .bitwiseAND(F.lit(255))
+        .alias(f"band{b}")
+        for b in range(8)
+    ]
+    banded = d.select("doc_id", "sim", *bands)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(8))
+    long_form = banded.selectExpr(
+        "doc_id", "sim", f"stack(8, {stack_expr}) AS (band_idx, band_val)"
+    )
+    a = long_form.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = long_form.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+#: DuckDB replay of the full SimHash pipeline. ``md5_number_upper``
+#: returns md5's FIRST 8 digest bytes read little-endian as a UBIGINT
+#: — bit-identical to the kernel's ``int.from_bytes(digest[:8],
+#: "little")``; tokens are the distinct non-empty ``\s+``-splits of
+#: the trimmed text (Python ``str.split()`` parity); the 64 majority
+#: votes, banding, and Hamming verify are integer bit-ops.
+DEDUP_SIMHASH_MD5_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+hashed AS (
+  SELECT doc_id, md5_number_upper(tok) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM hashed CROSS JOIN range(64) t(b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN 1::UBIGINT << b
+                       ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, b AS band_idx, (sig >> (8 * b)) & 255 AS band_val
+  FROM sigs CROSS JOIN range(8) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 6
+"""
 
 
 _FUZZY_PREFIX = 20  # chars of the doc head treated as its "title"
@@ -834,9 +966,11 @@ def _fuzzy_seg(target_len, i: int):
 
 def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join: document-head pairs within
-    Levenshtein distance {d}, found with LOSSLESS PassJoin segment
-    blocking (Li, Deng & Feng, VLDB 2011) instead of an all-pairs
-    scan.
+    Levenshtein distance {d}, found with PassJoin segment blocking
+    (Li, Deng & Feng, VLDB 2011) instead of an all-pairs scan —
+    lossless below the hot-segment / tiny-bucket caps (every tested
+    SF sits below both), connectivity-preserving lead-window chains
+    above them (the two-path policy documented below).
 
     Pigeonhole: split a string into d+1 segments — any string within
     edit distance d must contain one segment VERBATIM, shifted by at
@@ -1643,7 +1777,7 @@ SPECS: list[QuerySpec] = [
               "arriving-batch vs existing-corpus fingerprint dedup",
               ("dedup", "warehouse")),
     QuerySpec("fuzzy_title_pairs", fuzzy_title_pairs, FUZZY_TITLE_PAIRS_SQL,
-              "edit-distance join via lossless PassJoin segment blocking",
+              "edit-distance join via capped PassJoin segment blocking",
               ("dedup", "similarity")),
     QuerySpec("dedup_first_event", dedup_first_event, DEDUP_FIRST_EVENT_SQL,
               "keyed exact dedup, deterministic keep rule", ("dedup",)),
@@ -1656,6 +1790,9 @@ SPECS: list[QuerySpec] = [
               ("dedup",)),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "near-dup pairs via SimHash band blocking", ("dedup",)),
+    QuerySpec("dedup_simhash_md5", dedup_simhash_md5, DEDUP_SIMHASH_MD5_SQL,
+              "oracle-paired SimHash twin (complete band join)",
+              ("dedup",)),
     QuerySpec("dedup_near_clusters", dedup_near_clusters,
               DEDUP_NEAR_CLUSTERS_SQL,
               "near-dup clusters via iterative connected components",

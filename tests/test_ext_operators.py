@@ -1199,3 +1199,51 @@ def test_fuzzy_hot_segment_bucket_is_bounded_and_connected(spark, tmp_path):
             parent[a] = b
     roots = {find(i) for i in range(m)}
     assert len(roots) == 1, f"family split into {len(roots)} components"
+
+
+def test_winsorized_auto_switch_approx_path(spark, monkeypatch):
+    """Above _WINSOR_EXACT_MAX_GROUP rows/group, winsorized_prices must
+    auto-switch the p01/p99 bounds to percentile_approx (r06 verdict
+    item 2): same schema, identical n_items, bounds within the sketch's
+    documented rank error, winsor_sum within 0.1% of exact — and the
+    plan must contain NO rank window (the single-task-sort cliff the
+    switch exists to avoid)."""
+    from data_ingestion_tool_spark.operators import relational as R
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in R.winsorized_prices(spark, SF_CORRECT).collect()
+    }
+    monkeypatch.setattr(R, "_WINSOR_EXACT_MAX_GROUP", 10)
+    approx_df = R.winsorized_prices(spark, SF_CORRECT)
+    assert "Window" not in formatted_plan(approx_df)
+    approx = {r["l_returnflag"]: r for r in approx_df.collect()}
+
+    assert approx_df.columns == [
+        "l_returnflag", "n_items", "p01_price", "p99_price",
+        "winsor_sum", "winsor_avg",
+    ]
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert a["n_items"] == e["n_items"]
+        spread = e["p99_price"] - e["p01_price"]
+        assert abs(a["p01_price"] - e["p01_price"]) <= 0.02 * spread
+        assert abs(a["p99_price"] - e["p99_price"]) <= 0.02 * spread
+        assert abs(a["winsor_sum"] - e["winsor_sum"]) <= 0.001 * abs(
+            e["winsor_sum"]
+        )
+
+
+def test_winsorized_exact_path_unchanged_below_threshold(spark):
+    """The guard itself must not change the exact plan: below the
+    threshold the positional rank-window path runs verbatim (one
+    exchange, no pandas) — the contract test_winsorized_is_single_exchange
+    pins, re-asserted here next to the switch."""
+    from data_ingestion_tool_spark.operators import relational as R
+    from data_ingestion_tool_spark.plans.audit import plan_report
+
+    rep = plan_report(R.winsorized_prices(spark, SF_CORRECT))
+    assert rep.exchanges == 1
+    assert rep.map_in_pandas == 0

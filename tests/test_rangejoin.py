@@ -157,3 +157,60 @@ def test_asof_join_tiebreak_is_deterministic(spark):
             left.withColumnRenamed("k", "rid").withColumn("k", F.lit(1)),
             right, on="ts", by=["k"], value_cols=["val"], tiebreak="rid",
         )
+
+
+def test_concurrent_sessions_output_is_width_invariant(spark):
+    """Exactly-once across ANY bucket width (r06 verdict item 5): the
+    first-shared-bucket emission rule makes the pair set — and so the
+    counts — identical for the 1-hour default, a narrow 61 s width,
+    and an awkward prime width that never aligns with session
+    boundaries."""
+    from data_ingestion_tool_spark.operators.rangejoin import (
+        concurrent_sessions,
+    )
+
+    base = sorted(
+        map(tuple, concurrent_sessions(spark, SF_CORRECT).collect())
+    )
+    assert base, "no sessions produced"
+    for width in (61_000_000, 977_777_777):
+        alt = sorted(
+            map(
+                tuple,
+                concurrent_sessions(
+                    spark, SF_CORRECT, bucket_width_us=width
+                ).collect(),
+            )
+        )
+        assert alt == base, f"width {width} changed the output"
+
+
+def test_concurrent_sessions_auto_width_probe_is_bounded(spark):
+    """The auto-width branch: small corpora (every tested SF) take the
+    limit-probe shortcut and keep the 1-hour ceiling; the dense-corpus
+    formula shrinks width ∝ 1/density and respects the clamp."""
+    from data_ingestion_tool_spark.operators import rangejoin as RJ
+
+    # formula check, no Spark needed: span×target/n, clamped
+    span = 30 * 24 * 3600 * 1_000_000  # 30 days in µs
+
+    def width(n):
+        return int(
+            min(
+                RJ._CONC_BUCKET_US,
+                max(
+                    RJ._CONC_MIN_BUCKET_US,
+                    span * RJ._CONC_TARGET_EVENTS // n,
+                ),
+            )
+        )
+
+    # 100×-audit density (10M events / 30 d): ~531 s buckets
+    assert width(10_000_000) == span * RJ._CONC_TARGET_EVENTS // 10_000_000
+    assert RJ._CONC_MIN_BUCKET_US < width(10_000_000) < RJ._CONC_BUCKET_US
+    # pathological density clamps at the 1-minute floor
+    assert width(10**12) == RJ._CONC_MIN_BUCKET_US
+    # just past the probe threshold but sparse: ceiling holds
+    assert width(1_400_000) == RJ._CONC_BUCKET_US
+    # width shrinks monotonically with density
+    assert width(10_000_000) > width(100_000_000)

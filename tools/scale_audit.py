@@ -107,8 +107,21 @@ DEFAULT_QUERIES = [
 ]
 
 
+#: --production-dims synthetic embedding width: the d=64 test vectors
+#: put the τ=0.45 near-dup cutoff only 3.6σ from the random-cosine
+#: null, so at 100× the audit's wall clock is dominated by O(n²)
+#: CHANCE-pair output, not kernel compute. d=384 puts the same τ at
+#: 8.8σ (chance mass nil), so the ratio measures the kernel.
+_PROD_DIM = 384
+
+
 def build_scaled(
-    spark, base: str, out: str, factor: int, with_text: bool = False
+    spark,
+    base: str,
+    out: str,
+    factor: int,
+    with_text: bool = False,
+    production_dims: bool = False,
 ) -> None:
     # Write every replicated table at session parallelism: the base
     # tables are single parquet files, and a narrow explode keeps that
@@ -116,8 +129,14 @@ def build_scaled(
     # scan split, serializing every scan→Python stage into one task
     # and misattributing the audit's ratios to the operator (a real
     # table at this size has many splits; single-file layout is a
-    # test artifact, caught in round 6).
-    n_files = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # test artifact, caught in round 6). The count derives from the
+    # LIVE session's parallelism (r06 ADVICE: a hard-coded 32 could
+    # diverge from e.g. local[8] and reintroduce a milder layout
+    # artifact); SPARK_GRAFT_CPUS stays as an explicit override only.
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    n_files = (
+        int(env_cpus) if env_cpus else spark.sparkContext.defaultParallelism
+    )
     os.makedirs(out, exist_ok=True)
     for t, keys in KEY_COLS.items():
         src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
@@ -140,6 +159,32 @@ def build_scaled(
         return
     for t, key in TEXT_TABLES.items():
         src = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        if production_dims and t == "embeddings":
+            # replace the d=64 test vectors with DETERMINISTIC
+            # production-width synthetics: element j of vec v is a
+            # hash-derived uniform in [-1, 1] — pairwise cosines
+            # concentrate at ~N(0, 1/d) (the independence null), so
+            # the only pairs the near-dup tier emits are the planted
+            # within-replica ones (none), and the timing isolates
+            # kernel compute from chance-pair output materialization.
+            # The per-replica orthogonal transform below still
+            # applies — same transform discipline as the d=64 run.
+            src = src.withColumn(
+                "embedding",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PROD_DIM - 1)),
+                    lambda j: (
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col(key), j),
+                                F.lit(2_000_001),
+                            )
+                            - F.lit(1_000_000)
+                        ).cast("double")
+                        / F.lit(1_000_000.0)
+                    ),
+                ),
+            )
         rep = src.withColumn(
             "_r", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
         ).withColumn(key, F.col(key) + F.col("_r").cast("long") * KEY_BASE)
@@ -248,12 +293,25 @@ def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
     return out
 
 
+#: --production-dims headliners: the embedding-kernel tier only (the
+#: queries whose cost profile the dimension changes)
+EMBED_QUERIES = [
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "semantic_dedup",
+    "ann_bruteforce_topk",
+    "ann_ivf_exact_rerank",
+    "embedding_dimension_stats",
+]
+
+
 def main() -> int:
     factor = 10
     base = "/root/testdata/sf0.1"
     out_root = "/tmp/scale_audit"
     names = None
     with_text = "--with-text" in sys.argv
+    prod_dims = "--production-dims" in sys.argv
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--factor":
@@ -264,8 +322,12 @@ def main() -> int:
             out_root = argv[i + 1]
         elif a == "--queries":
             names = argv[i + 1].split(",")
+    if prod_dims:
+        with_text = True
+        names = names or EMBED_QUERIES
     names = names or (TEXT_QUERIES if with_text else DEFAULT_QUERIES)
-    out = os.path.join(out_root, f"x{factor}{'t' if with_text else ''}")
+    suffix = "p" if prod_dims else ("t" if with_text else "")
+    out = os.path.join(out_root, f"x{factor}{suffix}")
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # the scaled input needs a real heap: local[N] runs all N task
@@ -281,9 +343,26 @@ def main() -> int:
     if not os.path.exists(os.path.join(out, "_SUCCESS_AUDIT")):
         print(f"building {factor}x replica under {out} ...", flush=True)
         t0 = time.time()
-        build_scaled(spark, base, out, factor, with_text=with_text)
+        build_scaled(
+            spark, base, out, factor,
+            with_text=with_text, production_dims=prod_dims,
+        )
         open(os.path.join(out, "_SUCCESS_AUDIT"), "w").close()
         print(f"built in {time.time() - t0:.0f}s", flush=True)
+
+    if prod_dims:
+        # the 1× side must carry the SAME d=384 synthetics, or the
+        # ratio would compare different kernels — build an x1 replica
+        base_prod = os.path.join(out_root, "x1p")
+        if not os.path.exists(os.path.join(base_prod, "_SUCCESS_AUDIT")):
+            print(f"building 1x production-dims base under {base_prod} ...",
+                  flush=True)
+            build_scaled(
+                spark, base, base_prod, 1,
+                with_text=True, production_dims=True,
+            )
+            open(os.path.join(base_prod, "_SUCCESS_AUDIT"), "w").close()
+        base = base_prod
 
     reg = registry()
     names = [n for n in names if n in reg]
@@ -311,6 +390,7 @@ def main() -> int:
         json.dumps(
             {
                 "factor": factor,
+                "production_dims": prod_dims,
                 "n_queries": len(names),
                 "total_base_sec": round(total_b, 2),
                 "total_scaled_sec": round(total_s, 2),
