@@ -338,78 +338,34 @@ _CONC_BUCKET_US = 3_600 * 1_000_000
 #: Auto-width floor (µs): below ~1 minute the replication fan-out
 #: (duration/width) costs more than the bucket shrink saves.
 _CONC_MIN_BUCKET_US = 60 * 1_000_000
-#: Corpora at or below this many events keep the 1-hour width without
-#: paying the span probe (limit-probe, O(threshold) rows scanned).
-_CONC_AUTO_PROBE_ROWS = 1_000_000
-#: Auto-width density target: ~this many events per bucket. Per-bucket
-#: candidate pairs grow ∝ width × density² (members ≈ rate × (width +
-#: duration), pairs ≈ members², buckets ≈ span/width), so the width
-#: must SHRINK as traffic density grows; solving members ≈ const gives
-#: width ≈ span × target / n_events.
+#: Auto-width density target: ~this many items per bucket, so the
+#: sweep's per-bucket sorts and the G-join's per-bucket collision
+#: lists stay bounded as traffic density grows (width ≈ span ×
+#: target / n, clamped). The session table is narrow and the width
+#: derivation rides the count/min/max agg the sweep needs anyway.
 _CONC_TARGET_EVENTS = 2048
-_CONC_GAP = "10 minutes"
 
 
-def concurrent_sessions(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    bucket_width_us: int | None = None,
-) -> DataFrame:
-    """INTERVAL-OVERLAP JOIN: for every user session, how many OTHER
-    users had a session overlapping it in time — the concurrency /
-    capacity-planning question ("how many users are on at once?")
-    asked at session granularity.
+#: Two-level rank-prefix fan-in for the sweep-line path: the cross-
+#: bucket running totals are prefix-summed inside superbuckets of this
+#: many buckets, then across superbucket aggregates — so no single
+#: task ever orders more than ``buckets / _RANK_SUPER`` rows, however
+#: long the time axis grows.
+_RANK_SUPER = 1 << 16
+#: Minimum intra-user session gap (µs): the ``session_windows``
+#: 10-minute islands rule. Also the floor on inter-session gap length,
+#: which is what lets the G-term join pre-filter to sessions at least
+#: this long (shorter intervals cannot contain any gap).
+_CONC_GAP_US = 600 * 1_000_000
 
-    Sessions are the 10-minute-gap islands of ``session_windows``
-    ([min_ts, max_ts] closed intervals). The overlap join is the
-    keyless-interval sibling of ``bucketed_range_join``: each session
-    replicates to the width-``bucket_width_us`` buckets it spans
-    (``sequence`` + ``explode``, fan-out ≤ duration/width + 1),
-    candidates equi-join on the bucket, and each overlapping pair is
-    emitted EXACTLY ONCE — only in bucket ``greatest(floor(a.start),
-    floor(b.start))``, the first bucket both occupy — so no distinct
-    over the pair stream is ever needed, and the OUTPUT is identical
-    for every width (pytest-pinned across widths). At 100 TB the
-    bucket key shards the join across executors and a pair is tested
-    in one task only; a naive interval self-join would be a cartesian.
 
-    WIDTH IS THE DENSITY KNOB (r06 verdict item 5): total candidate
-    work ≈ span/width × (rate × (width + duration))² — LINEAR in width
-    while width ≫ session duration, flattening near it. The fixed
-    1-hour width is right for sparse traffic but over-wide as density
-    grows, so ``bucket_width_us=None`` auto-derives it: corpora of ≤
-    1M events (every tested SF — a limit-probe, no full scan) keep the
-    1-hour width verbatim; denser corpora pay one narrow min/max/count
-    agg and set width ≈ span × 2048 / n_events, clamped to [1 min,
-    1 h]. Pass an explicit width to override either path.
-    """
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events → per-user 10-minute-gap session islands:
+    ``(user_id, s_us, e_us)`` closed µs intervals, the shared input of
+    both :func:`concurrent_sessions` paths. One shuffle on user_id;
+    ``(user_id, s_us)`` is a unique session key (islands of one user
+    have strictly increasing starts)."""
     e = load_table(spark, sf_dir, "events")
-    if bucket_width_us is None:
-        over = (
-            e.select("user_id").limit(_CONC_AUTO_PROBE_ROWS + 1).count()
-        )
-        if over <= _CONC_AUTO_PROBE_ROWS:
-            bucket_width_us = _CONC_BUCKET_US
-        else:
-            n, lo, hi = e.agg(
-                F.count(F.lit(1)),
-                F.min(_epoch_us(e, "ts")),
-                F.max(_epoch_us(e, "ts")),
-            ).first()
-            span = max(int(hi) - int(lo), 1)
-            bucket_width_us = int(
-                min(
-                    _CONC_BUCKET_US,
-                    max(
-                        _CONC_MIN_BUCKET_US,
-                        span * _CONC_TARGET_EVENTS // max(n, 1),
-                    ),
-                )
-            )
-    w_us = int(bucket_width_us)
-    if w_us <= 0:
-        raise ValueError(f"bucket_width_us must be positive, got {w_us}")
     w = Window.partitionBy("user_id").orderBy("ts")
     lag_us = F.lag(_epoch_us(e, "ts")).over(w)
     flagged = e.select(
@@ -417,7 +373,7 @@ def concurrent_sessions(
         _epoch_us(e, "ts").alias("ts_us"),
         F.when(
             lag_us.isNull()
-            | (_epoch_us(e, "ts") - lag_us >= 600 * 1_000_000),
+            | (_epoch_us(e, "ts") - lag_us >= _CONC_GAP_US),
             1,
         )
         .otherwise(0)
@@ -434,10 +390,295 @@ def concurrent_sessions(
         )
         .alias("session_id"),
     )
-    sessions = numbered.groupBy("user_id", "session_id").agg(
+    return numbered.groupBy("user_id", "session_id").agg(
         F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
     )
-    exploded = sessions.select(
+
+
+def _conc_auto_width(n: int, span: int) -> int:
+    """Density-derived bucket width: ≈ ``_CONC_TARGET_EVENTS`` items
+    per bucket, clamped to [1 min, 1 h]."""
+    return int(
+        min(
+            _CONC_BUCKET_US,
+            max(
+                _CONC_MIN_BUCKET_US,
+                span * _CONC_TARGET_EVENTS // max(n, 1),
+            ),
+        )
+    )
+
+
+def concurrent_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_width_us: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """For every user session, how many OTHER users had a session
+    overlapping it in time — the concurrency / capacity-planning
+    question asked at session granularity. Sessions are the
+    10-minute-gap islands of ``session_windows`` ([min_ts, max_ts]
+    closed intervals).
+
+    SWEEP-LINE, NOT PAIR ENUMERATION (round 7): the r06 audit showed
+    the bucketed pair join's width knob saturating — at 100× density
+    the 1-hour and auto-narrowed widths both cost ~340 s because
+    Σ C(bucket members, 2) candidates is what a pairwise plan pays no
+    matter how the buckets are drawn (linear in width only while
+    width ≫ session duration; this corpus' sessions are mostly
+    points). But the DISTINCT-USER overlap count never needed pairs.
+    Because one user's sessions are disjoint islands separated by
+    ≥ 10-minute gaps, the sessions of user u intersecting a query
+    interval [s, e] form one CONSECUTIVE run, and a run of k sessions
+    contains exactly k−1 inter-session gaps wholly inside [s, e]
+    (gap [g_s, g_e] between consecutive sessions: both endpoints
+    intersect [s, e] ⟺ g_s ≥ s AND g_e ≤ e). Summing over users:
+
+        n_concurrent_users(a)
+            = #{sessions b : b.s ≤ a.e} − #{sessions b : b.e < a.s}
+              − #{gaps g : g.s ≥ a.s AND g.e ≤ a.e} − 1
+
+    (the first two terms count ALL sessions intersecting a — classic
+    interval stabbing by order statistics; the gap term collapses
+    each user's run to one; the −1 removes a itself, the only
+    own-user session intersecting a — neighbors sit ≥ 10 min away —
+    and own-user gaps are never contained, so no same-user filter is
+    needed anywhere). Differentially pinned against the pairwise
+    reference (:func:`_concurrent_sessions_pairs`) and oracle-checked
+    against DuckDB's COUNT(DISTINCT) self-join.
+
+    The two order statistics are ONE union + ONE bucket-partitioned
+    running sum: session starts (kind 0), per-session queries at a.e
+    (kind 1) and a.s (kind 2), session ends (kind 3), ordered by
+    (value, kind) so that equal-value starts sort before the ≤-query
+    and equal-value ends after the <-query. Cross-bucket offsets are
+    per-bucket totals prefix-summed two-level (inside superbuckets of
+    ``_RANK_SUPER`` buckets, then across superbucket aggregates —
+    bounded rows per task at any time-axis length). The gap term is a
+    bucket equi-join that only sessions ≥ the 10-minute gap floor can
+    enter (an interval shorter than the shortest gap contains none) —
+    12 of 98.5k sessions at sf0.1, ~1.2k of 9.9M at the 100× audit.
+    Every stage is O(N) rows through hash exchanges + bounded-bucket
+    sorts: no candidate pair stream exists at any density. At 100×
+    the audit entry drops from 346 s (pairwise, either width) to
+    scan-tier seconds.
+
+    ``bucket_width_us`` (default: density-derived, ≈ 2048 items per
+    bucket clamped to [1 min, 1 h]) only redraws rank/gap bucket
+    boundaries; the output is width-invariant (pytest-pinned).
+    ``checkpoint=False`` skips the eager ``localCheckpoint`` of the
+    narrow session table (computed once, read by four downstream
+    subtrees) so plan tests can inspect full lineage.
+    """
+    sess = _sessionize(spark, sf_dir)
+    if checkpoint:
+        sess = sess.localCheckpoint(eager=True)
+    n, lo, hi = sess.agg(
+        F.count(F.lit(1)), F.min("s_us"), F.max("e_us")
+    ).first()
+    out_cols = [
+        "user_id",
+        # tz-independent NTZ reconstruction (timestamp_micros is
+        # LTZ and would shift under a foreign session timezone)
+        F.expr(
+            "timestampadd(MICROSECOND, s_us,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("session_start"),
+    ]
+    if not n:
+        return sess.select(
+            *out_cols, F.lit(0).cast("long").alias("n_concurrent_users")
+        )
+    if bucket_width_us is None:
+        bucket_width_us = _conc_auto_width(n, max(int(hi) - int(lo), 1))
+    w_us = int(bucket_width_us)
+    if w_us <= 0:
+        raise ValueError(f"bucket_width_us must be positive, got {w_us}")
+
+    # ---- S term: #starts ≤ a.e and #ends < a.s via one bucketed sweep
+    uid_t = sess.schema["user_id"].dataType
+    null_uid = F.lit(None).cast(uid_t).alias("q_user")
+    null_s = F.lit(None).cast("long").alias("q_s")
+    pts_s = sess.select(
+        F.col("s_us").alias("val"), F.lit(0).alias("kind"), null_uid, null_s
+    )
+    q_end = sess.select(
+        F.col("e_us").alias("val"),
+        F.lit(1).alias("kind"),
+        F.col("user_id").alias("q_user"),
+        F.col("s_us").alias("q_s"),
+    )
+    q_start = sess.select(
+        F.col("s_us").alias("val"),
+        F.lit(2).alias("kind"),
+        F.col("user_id").alias("q_user"),
+        F.col("s_us").alias("q_s"),
+    )
+    pts_e = sess.select(
+        F.col("e_us").alias("val"), F.lit(3).alias("kind"), null_uid, null_s
+    )
+    u = (
+        pts_s.unionByName(q_end)
+        .unionByName(q_start)
+        .unionByName(pts_e)
+        .withColumn("bucket", F.expr(f"val div {w_us}"))
+    )
+    is_start = F.when(F.col("kind") == 0, 1).otherwise(0)
+    is_end = F.when(F.col("kind") == 3, 1).otherwise(0)
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("val", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = u.select(
+        "bucket",
+        "kind",
+        "q_user",
+        "q_s",
+        F.sum(is_start).over(win).alias("in_starts"),
+        F.sum(is_end).over(win).alias("in_ends"),
+    ).filter(F.col("kind").isin(1, 2))
+    # cross-bucket prefix: per-bucket totals built from the SAME union
+    # (so every query row's bucket exists), prefix-summed two-level
+    bt = (
+        u.groupBy("bucket")
+        .agg(
+            F.sum(is_start).alias("b_starts"), F.sum(is_end).alias("b_ends")
+        )
+        .withColumn("sb", F.expr(f"bucket div {_RANK_SUPER}"))
+    )
+    w_in = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bt = bt.select(
+        "bucket",
+        "sb",
+        F.coalesce(F.sum("b_starts").over(w_in), F.lit(0)).alias("p_in_s"),
+        F.coalesce(F.sum("b_ends").over(w_in), F.lit(0)).alias("p_in_e"),
+        "b_starts",
+        "b_ends",
+    )
+    sup = bt.groupBy("sb").agg(
+        F.sum("b_starts").alias("sb_starts"), F.sum("b_ends").alias("sb_ends")
+    )
+    # superbucket aggregates: buckets/_RANK_SUPER rows — a bounded
+    # single-partition prefix window by construction
+    w_sup = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    sup = sup.select(
+        "sb",
+        F.coalesce(F.sum("sb_starts").over(w_sup), F.lit(0)).alias("p_sup_s"),
+        F.coalesce(F.sum("sb_ends").over(w_sup), F.lit(0)).alias("p_sup_e"),
+    )
+    prefix = bt.join(F.broadcast(sup), "sb").select(
+        "bucket",
+        (F.col("p_sup_s") + F.col("p_in_s")).alias("pre_starts"),
+        (F.col("p_sup_e") + F.col("p_in_e")).alias("pre_ends"),
+    )
+    s_term = (
+        ranked.join(prefix, "bucket")
+        .groupBy(
+            F.col("q_user").alias("user_id"), F.col("q_s").alias("s_us")
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("kind") == 1,
+                    F.col("pre_starts") + F.col("in_starts"),
+                )
+            ).alias("starts_leq"),
+            F.max(
+                F.when(
+                    F.col("kind") == 2, F.col("pre_ends") + F.col("in_ends")
+                )
+            ).alias("ends_lt"),
+        )
+    )
+
+    # ---- G term: gaps wholly inside [a.s, a.e] — only sessions at
+    # least one gap length long can contain any, so the replicated
+    # side is the ≥10-minute tail, not the corpus
+    w_user = Window.partitionBy("user_id").orderBy("s_us")
+    gaps = sess.select(
+        F.lag("e_us").over(w_user).alias("g_s"),
+        F.col("s_us").alias("g_e"),
+    ).filter(F.col("g_s").isNotNull())
+    long_sess = sess.filter(
+        F.col("e_us") - F.col("s_us") >= _CONC_GAP_US
+    ).select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {w_us}"), F.expr(f"e_us div {w_us}")
+            )
+        ).alias("gbucket"),
+    )
+    g_term = (
+        long_sess.join(
+            gaps.withColumn("gbucket", F.expr(f"g_s div {w_us}")), "gbucket"
+        )
+        # a gap lives in exactly one bucket (keyed by g_s), so each
+        # (session, gap) meets at most once — no exactly-once rule
+        .filter(
+            (F.col("g_s") >= F.col("s_us")) & (F.col("g_e") <= F.col("e_us"))
+        )
+        .groupBy("user_id", "s_us")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+    return (
+        sess.join(s_term, ["user_id", "s_us"])
+        .join(g_term, ["user_id", "s_us"], "left")
+        .select(
+            *out_cols,
+            (
+                F.col("starts_leq")
+                - F.col("ends_lt")
+                - F.coalesce(F.col("n_gaps"), F.lit(0))
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("n_concurrent_users"),
+        )
+    )
+
+
+def _concurrent_sessions_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket_width_us: int | None = None,
+) -> DataFrame:
+    """Pairwise reference implementation of :func:`concurrent_sessions`
+    — the bucketed interval-overlap join it replaced in round 7, kept
+    as the differential-test twin (it mirrors the oracle's
+    COUNT(DISTINCT) self-join row for row). Each session replicates to
+    the width-``bucket_width_us`` buckets it spans, candidates
+    equi-join on the bucket, each overlapping pair is emitted EXACTLY
+    ONCE (only in ``greatest(floor(a.start), floor(b.start))``, the
+    first bucket both occupy). Bounded and shardable — but it pays
+    Σ C(bucket members, 2) candidate enumeration, which saturates at
+    high density regardless of width (the r06→r07 audit measurement
+    that motivated the sweep-line rewrite).
+    """
+    sess = _sessionize(spark, sf_dir)
+    if bucket_width_us is None:
+        n, lo, hi = sess.agg(
+            F.count(F.lit(1)), F.min("s_us"), F.max("e_us")
+        ).first()
+        if not n:
+            bucket_width_us = _CONC_BUCKET_US
+        else:
+            bucket_width_us = _conc_auto_width(n, max(int(hi) - int(lo), 1))
+    w_us = int(bucket_width_us)
+    if w_us <= 0:
+        raise ValueError(f"bucket_width_us must be positive, got {w_us}")
+    exploded = sess.select(
         "user_id",
         "s_us",
         "e_us",
@@ -477,15 +718,13 @@ def concurrent_sessions(
         F.countDistinct("b_user").alias("n_concurrent_users")
     )
     return (
-        sessions.join(
+        sess.join(
             counts,
-            (sessions.user_id == counts.a_user) & (sessions.s_us == counts.a_s),
+            (sess.user_id == counts.a_user) & (sess.s_us == counts.a_s),
             "left",
         )
         .select(
             "user_id",
-            # tz-independent NTZ reconstruction (timestamp_micros is
-            # LTZ and would shift under a foreign session timezone)
             F.expr(
                 "timestampadd(MICROSECOND, s_us,"
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"

@@ -494,9 +494,14 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         dedup_simhash,
     )
 
+    from data_ingestion_tool_spark.operators.rangejoin import (
+        concurrent_sessions,
+    )
+
     PRE_CHECKPOINT = {
         "dedup_minhash_lsh": partial(dedup_minhash_lsh, checkpoint=False),
         "dedup_simhash": partial(dedup_simhash, checkpoint=False),
+        "concurrent_sessions": partial(concurrent_sessions, checkpoint=False),
     }
 
     offenders = {}
@@ -762,15 +767,26 @@ def test_novelty_is_two_key_shuffles_no_pairs(spark):
     assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
 
 
-def test_concurrent_sessions_interval_join_is_bucketed(spark):
-    """The interval-overlap join must be a bucket equi-join (shuffle
-    on the bucket key), never a cartesian/nested-loop over sessions,
-    with the session build as plain windows — all JVM."""
-    df = REG["concurrent_sessions"].builder(spark, SF_CORRECT)
+def test_concurrent_sessions_sweep_plan_has_no_pair_join(spark):
+    """The round-7 sweep-line plan: rank terms are bucket-partitioned
+    window sums (equi exchanges), the only explode is the G-join's
+    long-session replication, and nothing plans as a cartesian /
+    nested-loop over sessions — all JVM. Inspected pre-checkpoint so
+    the full lineage (sessionize → union sweep → prefix → joins) is
+    what's asserted."""
+    from data_ingestion_tool_spark.operators.rangejoin import (
+        concurrent_sessions,
+    )
+
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    df = concurrent_sessions(spark, SF_CORRECT, checkpoint=False)
     rep = plan_report(df)
     assert rep.nested_loop_joins == 0, rep
     assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
-    assert rep.generates >= 1  # the bucket explode
+    assert rep.generates >= 1  # the G-join bucket explode
+    text = formatted_plan(df)
+    assert "CartesianProduct" not in text
 
 
 def test_every_driver_materialization_site_is_bounded():

@@ -186,31 +186,85 @@ def test_concurrent_sessions_output_is_width_invariant(spark):
 
 
 def test_concurrent_sessions_auto_width_probe_is_bounded(spark):
-    """The auto-width branch: small corpora (every tested SF) take the
-    limit-probe shortcut and keep the 1-hour ceiling; the dense-corpus
-    formula shrinks width ∝ 1/density and respects the clamp."""
+    """The auto-width formula: sparse corpora (every tested SF) keep
+    the 1-hour ceiling; dense corpora shrink width ∝ 1/density and
+    respect the clamp. Width only redraws sweep/G-join bucket
+    boundaries — output invariance is the previous test's job."""
     from data_ingestion_tool_spark.operators import rangejoin as RJ
 
     # formula check, no Spark needed: span×target/n, clamped
     span = 30 * 24 * 3600 * 1_000_000  # 30 days in µs
+    width = lambda n: RJ._conc_auto_width(n, span)  # noqa: E731
 
-    def width(n):
-        return int(
-            min(
-                RJ._CONC_BUCKET_US,
-                max(
-                    RJ._CONC_MIN_BUCKET_US,
-                    span * RJ._CONC_TARGET_EVENTS // n,
-                ),
-            )
-        )
-
-    # 100×-audit density (10M events / 30 d): ~531 s buckets
+    # 100×-audit density (10M sessions / 30 d): ~531 s buckets
     assert width(10_000_000) == span * RJ._CONC_TARGET_EVENTS // 10_000_000
     assert RJ._CONC_MIN_BUCKET_US < width(10_000_000) < RJ._CONC_BUCKET_US
     # pathological density clamps at the 1-minute floor
     assert width(10**12) == RJ._CONC_MIN_BUCKET_US
-    # just past the probe threshold but sparse: ceiling holds
+    # dense-ish but sparse per bucket: ceiling holds
     assert width(1_400_000) == RJ._CONC_BUCKET_US
     # width shrinks monotonically with density
     assert width(10_000_000) > width(100_000_000)
+
+
+def test_concurrent_sessions_matches_pairwise_reference(spark, tmp_path):
+    """The round-7 sweep-line decomposition (starts_leq − ends_lt −
+    contained_gaps − 1) must reproduce the pairwise COUNT(DISTINCT)
+    overlap join row for row — on the real corpus AND on a dense
+    constructed one exercising every term: multi-session users whose
+    several sessions overlap one long interval (the gap correction),
+    boundary-equal timestamps (closed-interval ≤/< tie rules), point
+    sessions, and sessions longer than the 10-minute gap floor (the
+    G-join's replicated side)."""
+    import random
+
+    from data_ingestion_tool_spark.operators.rangejoin import (
+        _concurrent_sessions_pairs,
+        concurrent_sessions,
+    )
+
+    ref = sorted(
+        map(tuple, _concurrent_sessions_pairs(spark, SF_CORRECT).collect())
+    )
+    got = sorted(map(tuple, concurrent_sessions(spark, SF_CORRECT).collect()))
+    assert got == ref
+
+    rng = random.Random(11)
+    rows, eid = [], 0
+    for u in range(12):
+        t = rng.randint(0, 40)
+        for _ in range(rng.randint(2, 12)):
+            for _ in range(rng.randint(1, 5)):
+                rows.append((eid, u, t))
+                eid += 1
+                t += rng.choice([0, 1, 120, 599])  # same session
+            t += rng.choice([600, 900, 5000, 30000])  # new session
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long"
+    ).selectExpr(
+        "event_id",
+        "timestamp_seconds(sec) AS ts",
+        "user_id",
+        "'x' AS event_type",
+        "0.0 AS value",
+        "'{}' AS props",
+    ).coalesce(2).write.parquet(d + "/events.parquet")
+    for width in (None, 61_000_000, 977_777_777):
+        ref = sorted(
+            map(
+                tuple,
+                _concurrent_sessions_pairs(
+                    spark, d, bucket_width_us=width
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                concurrent_sessions(
+                    spark, d, bucket_width_us=width
+                ).collect(),
+            )
+        )
+        assert got == ref, f"width {width} diverged from pairwise"
