@@ -772,7 +772,8 @@ SPECS: list[QuerySpec] = [
         "concurrent_sessions",
         concurrent_sessions,
         CONCURRENT_SESSIONS_SQL,
-        "interval-overlap join: per-session concurrent-user counts",
+        "sweep-line interval concurrency: per-session distinct-user"
+        " counts without pair enumeration",
         ("join", "timeseries", "events"),
     ),
     QuerySpec(
