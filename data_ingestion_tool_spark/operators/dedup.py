@@ -26,9 +26,10 @@ Scale design:
   true pair set is inherently quadratic — emit ≤ ``_BAND_WINDOW``
   lead-window chains per member, preserving family connectivity for
   the clustering consumers at bounded candidate cost.
-- **Edit-distance pairs** use lossless PassJoin segment blocking
-  (content-based keys — bucket sizes track shared-prefix families,
-  not corpus size).
+- **Edit-distance pairs** use PassJoin segment blocking (content-based
+  keys — bucket sizes track shared-prefix families, not corpus size),
+  lossless below the hot-segment / tiny-bucket caps; beyond them the
+  same lead-window demotion as the band buckets applies.
 """
 
 from __future__ import annotations
