@@ -268,3 +268,54 @@ def test_concurrent_sessions_matches_pairwise_reference(spark, tmp_path):
             )
         )
         assert got == ref, f"width {width} diverged from pairwise"
+
+
+def test_concurrent_sessions_adversarial_shapes(spark, tmp_path):
+    """Differential corner shapes a random corpus rarely produces:
+    (a) 30 users sharing ONE identical interval (every rank tie at
+    once), (b) corpus-spanning long sessions whose interval contains
+    every other user's inter-session gaps plus a point session inside
+    all spans, (c) sessions that touch end-to-start at exact
+    boundaries (the ≤ vs < tie rules carry the whole answer)."""
+    from data_ingestion_tool_spark.operators.rangejoin import (
+        _concurrent_sessions_pairs,
+        concurrent_sessions,
+    )
+
+    corpora = {
+        "identical": [(u * 2 + k, u, 1000 + 500 * k)
+                      for u in range(30) for k in (0, 1)],
+        "spanning": (
+            # users 0-5: one long session [0, 3850] each (G-join side)
+            [(100 * u + i, u, 550 * i) for u in range(6) for i in range(8)]
+            # users 50-52: four short sessions inside that span — their
+            # three inter-session gaps are contained by every long one
+            + [(10_000 + 100 * u + k, 50 + u, 200 * u + 900 * k)
+               for u in range(3) for k in range(4)]
+            + [(9000, 99, 1234)]  # point session inside all spans
+        ),
+        "boundary": [
+            (0, 1, 100), (1, 1, 400),   # u1 [100,400]
+            (2, 2, 400), (3, 2, 700),   # u2 starts AT u1's end
+            (4, 3, 700),                # u3 point at u2's end
+            (5, 4, 99), (6, 4, 100),    # u4 ends AT u1's start
+            (7, 5, 0), (8, 5, 2000),    # u5: two single-event sessions
+        ],
+    }
+    for label, rows in corpora.items():
+        d = str(tmp_path / label)
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, sec long"
+        ).selectExpr(
+            "event_id",
+            "timestamp_seconds(sec) AS ts",
+            "user_id",
+            "'x' AS event_type",
+            "0.0 AS value",
+            "'{}' AS props",
+        ).coalesce(2).write.parquet(d + "/events.parquet")
+        ref = sorted(
+            map(tuple, _concurrent_sessions_pairs(spark, d).collect())
+        )
+        got = sorted(map(tuple, concurrent_sessions(spark, d).collect()))
+        assert got == ref, f"{label} corpus diverged from pairwise"
