@@ -486,3 +486,92 @@ def test_fuzzed_setop_pipeline_matches_duckdb(spark, spec):
         con.close()
     problems = compare(sdf, ddf)
     assert not problems, f"{spec}: " + "; ".join(problems)
+
+
+@st.composite
+def nullkey_join_specs(draw):
+    key = st.one_of(st.none(), st.integers(min_value=0, max_value=4))
+    side = st.lists(
+        st.tuples(key, st.integers(min_value=0, max_value=99)),
+        min_size=0,
+        max_size=12,
+    )
+    return {
+        "a": draw(side),
+        "b": draw(side),
+        "how": draw(
+            st.sampled_from(["inner", "left", "full", "semi", "anti"])
+        ),
+    }
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=nullkey_join_specs())
+def test_fuzzed_nullkey_join_matches_duckdb(spark, spec):
+    """Join semantics on NULL-laden keys — the gap the clean-key join
+    fuzz can't see: NULL keys must never match (including NULL = NULL),
+    FULL OUTER must still emit both sides' unmatched NULL-key rows,
+    and SEMI/ANTI must keep each probe row at most/exactly once
+    regardless of build-side duplicate multiplicity. Constructed
+    frames, tiny key domain (collisions + duplicates guaranteed);
+    every output column cast to DOUBLE on both engines so the value
+    canonicalization is dtype-stable under mixed nullability."""
+    import pandas as pd
+
+    a = spark.createDataFrame(spec["a"], "k int, av int")
+    b = spark.createDataFrame(spec["b"], "k int, bv int")
+    pa = pd.DataFrame(
+        {
+            "k": pd.array([r[0] for r in spec["a"]], dtype="Int64"),
+            "av": pd.array([r[1] for r in spec["a"]], dtype="Int64"),
+        }
+    )
+    pb = pd.DataFrame(
+        {
+            "k": pd.array([r[0] for r in spec["b"]], dtype="Int64"),
+            "bv": pd.array([r[1] for r in spec["b"]], dtype="Int64"),
+        }
+    )
+    cond = a["k"] == b["k"]
+    if spec["how"] in ("semi", "anti"):
+        sdf = a.join(b, cond, "left_" + spec["how"]).select(
+            F.col("k").cast("double").alias("k"),
+            F.col("av").cast("double").alias("av"),
+        )
+        op = "EXISTS" if spec["how"] == "semi" else "NOT EXISTS"
+        sql = f"""
+        SELECT CAST(k AS DOUBLE) AS k, CAST(av AS DOUBLE) AS av
+        FROM ta WHERE {op} (SELECT 1 FROM tb WHERE tb.k = ta.k)
+        """
+    else:
+        sdf = a.join(b, cond, spec["how"]).select(
+            a["k"].cast("double").alias("a_k"),
+            F.col("av").cast("double").alias("av"),
+            b["k"].cast("double").alias("b_k"),
+            F.col("bv").cast("double").alias("bv"),
+        )
+        how_sql = {
+            "inner": "JOIN",
+            "left": "LEFT JOIN",
+            "full": "FULL JOIN",
+        }[spec["how"]]
+        sql = f"""
+        SELECT CAST(ta.k AS DOUBLE) AS a_k, CAST(av AS DOUBLE) AS av,
+               CAST(tb.k AS DOUBLE) AS b_k, CAST(bv AS DOUBLE) AS bv
+        FROM ta {how_sql} tb ON ta.k = tb.k
+        """
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.register("ta", pa)
+        con.register("tb", pb)
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    problems = compare(sdf, ddf)
+    assert not problems, f"{spec}: " + "; ".join(problems)
