@@ -51,79 +51,76 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-7 ROTATION (executed; round-6 verdict items 1 + 4): (a) the
-#: NEW oracle-paired SimHash anchor `dedup_simhash_md5` (same
-#: production signature kernel, complete band join — the last big
-#: rows-only dedup family gets a DuckDB-replayable twin); (b) the
-#: three kernel-touched consumers whose last driver rows (r04)
-#: predate the round-6 `blocked_cosine_pairs` slab/demotion changes:
-#: `user_activity_similarity`, `semantic_dedup`, `dedup_near_clusters`;
-#: (c) the two operators this round's scale switches touched:
-#: `winsorized_prices` (percentile_approx auto-switch — exact path
-#: must stay oracle-green) and `concurrent_sessions` (auto bucket
-#: width — output is width-invariant, re-pinned anyway); (d) 44 of
-#: the 47 remaining oracle-paired queries whose last green row is
-#: r03 (four rounds unchecked), alphabetical; the three deferred to
-#: r08 (`dq_value_bounds`, `tpch_q6_forecast_revenue`,
-#: `value_histogram` — the simplest single-agg plans in the stale
-#: tier, still pytest-oracle-checked every run) fill the next
-#: window. Oracle-paired entries only — rows-only entries record as
-#: `no_oracle` reds and never take a slot.
+#: ROUND-8 ROTATION (executed; round-7 verdict item 1 — finish the
+#: oracle-freshness rotation): (a) the three r03-stale deferrals the
+#: r07 window explicitly queued first (`dq_value_bounds`,
+#: `tpch_q6_forecast_revenue`, `value_histogram`); (b) ALL 29
+#: oracle-paired queries whose last green driver row is r04 (four
+#: rounds unchecked), alphabetical; (c) `ann_ivf_exact_rerank` — this
+#: round's auto-`nlist` change (r07 verdict item 2) touches its
+#: builder, and the verdict requires it green in the r08 window (the
+#: count probe lands every oracle SF on the pinned 16-centroid path,
+#: so the plan the driver replays is unchanged); (d) 17 r05-stale
+#: fillers, alphabetical, so after this round no oracle-paired
+#: query's last driver row is older than r05 except the remaining
+#: r05 tier itself (32 left, queued for r09). Oracle-paired entries
+#: only — rows-only entries record as `no_oracle` reds and never
+#: take a slot. (Round-7 window and earlier rotations: git history.)
 _FRONT = [
-    # (a) new md5 SimHash anchor (r06 verdict item 4)
-    "dedup_simhash_md5",
-    # (b) round-6 kernel-touched consumers (r06 verdict item 1)
-    "user_activity_similarity",
-    "semantic_dedup",
-    "dedup_near_clusters",
-    # (c) round-7 scale-switch re-pins
-    "winsorized_prices",
-    "concurrent_sessions",
-    # (d) last green r03 — four-round regression sweep
-    "agg_regression",
-    "ann_filtered_topk",
-    "boilerplate_ngram_flags",
-    "contrastive_negatives",
-    "corpus_prep_pipeline",
-    "dedup_containment",
-    "dedup_incremental",
-    "doc_sample_balanced",
-    "dq_duplicate_linenumbers",
-    "dq_orphan_orders",
-    "dq_price_drift_psi",
-    "equi_depth_histogram",
-    "event_transition_matrix",
-    "event_value_anomalies",
-    "global_click_purchase_pairs",
-    "hierarchy_rollup_cte",
-    "idle_rich_customers",
-    "important_part_stock",
-    "join_key_skew_profile",
-    "length_bucketed_batches",
-    "media_metadata_stats",
-    "next_purchase_value",
-    "orders_snapshot_diff",
-    "point_in_time_features",
-    "profile_orders",
-    "rolling_weekly_active_users",
-    "shared_span_pairs",
-    "source_mixing_weights",
-    "source_token_entropy",
-    "temperature_mixed_sample",
-    "top_supplier_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_last_shipper",
-    "tpch_q4_late_order_priority",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_shape",
-    "unigram_logprob_scores",
-    "user_retention_cohorts",
-    "vocab_oov_rate",
+    # (a) r03-stale deferrals — stalest rows in the registry
+    "dq_value_bounds",
+    "tpch_q6_forecast_revenue",
+    "value_histogram",
+    # (b) last green r04 — four-round regression sweep (all 29)
+    "agg_string_concat",
+    "bigram_logprob_scores",
+    "bm25_search",
+    "cooccurrence_pmi",
+    "cumulative_unique_users",
+    "dedup_impact_report",
+    "doc_quality_ensemble",
+    "doc_rolling_fingerprints",
+    "embedding_covariance",
+    "embedding_dimension_stats",
+    "exact_top_terms",
+    "exact_user_reach",
+    "frequent_event_sequences",
+    "label_centroid_norms",
+    "linewise_dedup",
+    "near_dup_graph_degree",
+    "pagerank_supply_graph",
+    "self_join_blowup_estimate",
+    "skyline_orders",
+    "source_vocab_overlap",
+    "stratified_weighted_sample",
+    "time_weighted_avg_value",
+    "token_ngram_novelty",
+    "tpch_q12_priority_shipping",
+    "tpch_q16_part_supplier_variety",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "weighted_doc_sample",
+    "window_rank_extras",
+    # (c) touched by this round's auto-nlist change (r07 item 2)
+    "ann_ivf_exact_rerank",
+    # (d) r05-stale fillers, alphabetical
+    "agg_collect_sets",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_median_percentiles",
+    "agg_quantiles",
+    "agg_rollup",
+    "calendar_dim",
+    "customer_order_stats",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "event_attribution_last_touch",
+    "grouped_price_elasticity",
+    "market_basket_brand_pairs",
+    "null_safe_compare",
+    "orders_customers_full",
+    "orders_global_sort",
 ]
 
 
