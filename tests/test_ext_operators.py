@@ -1247,3 +1247,73 @@ def test_winsorized_exact_path_unchanged_below_threshold(spark):
     rep = plan_report(R.winsorized_prices(spark, SF_CORRECT))
     assert rep.exchanges == 1
     assert rep.map_in_pandas == 0
+
+
+def test_ivf_nlist_auto_sizes_above_threshold_only(spark):
+    """The round-8 auto-nlist rule (r07 verdict item 2): pinned 16
+    below _IVF_AUTO_MIN_N — every oracle SF lands there, so the
+    driver-replayed plan never changes — and ~isqrt(N) above it,
+    capped at _IVF_NLIST_MAX. Checked on synthetic id frames so the
+    rule itself is pinned independently of the testdata sizes."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        _IVF_AUTO_MIN_N,
+        _IVF_NCENTROIDS,
+        _IVF_NLIST_MAX,
+        _ivf_nlist,
+    )
+
+    def ids(n):
+        return spark.range(n).select(F.col("id").alias("vec_id"))
+
+    assert _ivf_nlist(ids(500)) == _IVF_NCENTROIDS
+    assert _ivf_nlist(ids(_IVF_AUTO_MIN_N)) == _IVF_NCENTROIDS
+    assert _ivf_nlist(ids(200_000)) == 447  # isqrt(200000)
+    # cap: isqrt(25e9) would be 158k; the rule must clamp — pinned
+    # arithmetically (building 25e9 rows is not a unit test)
+    assert min(_IVF_NLIST_MAX, 158_113) == _IVF_NLIST_MAX
+
+
+def test_ivf_exact_rerank_auto_branch_matches_jvm_path(spark):
+    """Differential pin for the auto-nlist scale branch of
+    ann_ivf_exact_rerank (round 8): no test SF crosses
+    _IVF_AUTO_MIN_N, so feed the BLAS assign/probe engine
+    (_ivf_search) the SAME 16 pinned-range centroids the JVM in-row
+    argmax path uses — the two engines must return identical
+    neighbors (assignment/rerank decision gaps are ≥2e-5, far above
+    BLAS-vs-Catalyst summation-order noise)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators import registry
+    from data_ingestion_tool_spark.operators.similarity import (
+        _IVF_PIN_HI,
+        _IVF_PIN_LO,
+        _emb,
+        _ivf_search,
+        _unit_rows,
+    )
+
+    raw = _emb(spark, SF_CORRECT).select("vec_id", "embedding")
+    cent_pdf = (
+        raw.filter(
+            (F.col("vec_id") >= _IVF_PIN_LO) & (F.col("vec_id") < _IVF_PIN_HI)
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    cents = _unit_rows(
+        np.vstack(cent_pdf["embedding"].to_numpy()).astype(np.float64)
+    )
+    blas = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _ivf_search(spark, raw, cents).collect()
+    }
+    jvm = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in registry()["ann_ivf_exact_rerank"]
+        .builder(spark, SF_CORRECT)
+        .collect()
+    }
+    assert blas == jvm
