@@ -50,7 +50,8 @@ def cmd_list(args) -> int:
         if args.tag and args.tag not in spec.tags:
             continue
         kind = "oracle" if spec.oracle else "rows-only"
-        print(f"{name:40s} {kind:9s} {spec.doc}")
+        tags = ",".join(spec.tags)
+        print(f"{name:40s} {kind:9s} {tags:20s} {spec.doc}")
     return 0
 
 

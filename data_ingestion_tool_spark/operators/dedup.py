@@ -1787,13 +1787,15 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, None,
               "near-dup pairs via MinHash banding + exact verify", ("dedup",)),
     QuerySpec("dedup_minhash_md5", dedup_minhash_md5, DEDUP_MINHASH_MD5_SQL,
-              "oracle-paired MinHash LSH twin (md5 hash family)",
-              ("dedup",)),
+              "oracle ANCHOR (complete band join, md5 family) — "
+              "production path is dedup_minhash_lsh",
+              ("dedup", "anchor")),
     QuerySpec("dedup_simhash", dedup_simhash, None,
               "near-dup pairs via SimHash band blocking", ("dedup",)),
     QuerySpec("dedup_simhash_md5", dedup_simhash_md5, DEDUP_SIMHASH_MD5_SQL,
-              "oracle-paired SimHash twin (complete band join)",
-              ("dedup",)),
+              "oracle ANCHOR (complete band join, md5 family) — "
+              "production path is dedup_simhash",
+              ("dedup", "anchor")),
     QuerySpec("dedup_near_clusters", dedup_near_clusters,
               DEDUP_NEAR_CLUSTERS_SQL,
               "near-dup clusters via iterative connected components",

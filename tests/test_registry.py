@@ -102,6 +102,39 @@ def test_bench_diff_reads_both_formats(tmp_path):
     assert bench_diff.main([str(raw), str(wrapped), "--flag", "3.0"]) == 0
 
 
+def test_bench_diff_normalize_divides_by_probe_ratio(tmp_path):
+    """--normalize (r07 verdict item 3): a uniform 2x slowdown whose
+    calibration probes also read 2x is host state — normalized ratios
+    land at 1.0 and the regression flag stays quiet; without
+    --normalize the same records trip it. Probe-less records fall
+    back to raw comparison."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_diff
+
+    cal_old = {"gemm_sec": 0.04, "sort_sec": 0.5, "spark_job_sec": 0.15}
+    cal_new = {k: v * 2 for k, v in cal_old.items()}
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps(
+        {"queries": {"a": 1.0, "b": 2.0}, "calibration": cal_old}
+    ))
+    new = tmp_path / "new.json"
+    new.write_text(json.dumps(
+        {"queries": {"a": 2.0, "b": 4.0}, "calibration": cal_new}
+    ))
+    assert abs(bench_diff.host_factor(
+        bench_diff.load_doc(str(old)), bench_diff.load_doc(str(new))
+    ) - 2.0) < 1e-9
+    assert bench_diff.main([str(old), str(new)]) == 1          # raw: 2x
+    assert bench_diff.main([str(old), str(new), "--normalize"]) == 0
+    # missing probe -> raw comparison (still flags)
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps({"queries": {"a": 1.0, "b": 2.0}}))
+    assert bench_diff.main([str(bare), str(new), "--normalize"]) == 1
+
+
 def test_survey_registry_coverage_line_matches_live_registry():
     """SURVEY.md §2 carries a machine-readable registry-coverage line;
     it must track the live registry so §2 can't silently drift from
@@ -114,3 +147,23 @@ def test_survey_registry_coverage_line_matches_live_registry():
     n_oracle = sum(1 for s in reg.values() if s.oracle)
     assert int(m.group(1)) == len(reg), "update SURVEY.md registry-coverage line"
     assert int(m.group(2)) == n_oracle, "update SURVEY.md registry-coverage line"
+
+
+def test_anchor_tags_name_their_production_twins():
+    """r07 verdict item 4: the md5 oracle anchors keep COMPLETE band
+    self-joins by design (DuckDB must replay them), so the registry
+    tags them "anchor" and each anchor's description must name its
+    capped production twin — the CLI list and scale_audit route users
+    there instead of running an anchor on a saturated corpus."""
+    reg = registry()
+    anchors = [s for s in reg.values() if "anchor" in s.tags]
+    assert {s.name for s in anchors} >= {
+        "dedup_minhash_md5",
+        "dedup_simhash_md5",
+    }
+    for s in anchors:
+        twins = [
+            m for m in reg
+            if m != s.name and m in s.doc and "anchor" not in reg[m].tags
+        ]
+        assert twins, f"anchor {s.name} must name its production twin"

@@ -1,21 +1,33 @@
 """Compare two bench JSON lines (e.g. BENCH_r02.json vs BENCH_r03.json):
 
     python tools/bench_diff.py BENCH_r02.json BENCH_r03.json [--flag 1.3]
+                               [--normalize]
 
 Prints per-query deltas for the shared set, the added/removed names,
 and exits 1 when any shared query regressed beyond --flag (default
 1.3×) — the guard the round workflow runs before trusting a "faster"
 total that actually hides a regression under new entries.
+
+--normalize (round 8, r07 verdict item 3) divides the new side by the
+host-state factor derived from the calibration probes both records
+carry (bench.py records a fixed-work gemm/sort/spark-job triple from
+r07 on): factor = geometric mean of the three new/old probe ratios.
+Identical probe inputs every run mean the factor measures the HOST,
+so the normalized ratio isolates what the CODE did — the r06/r07
+machine-state episodes are exactly what this divides out. With
+--normalize, the --flag regression check applies to the normalized
+ratios. Records without a probe (pre-r07) can only be compared raw.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load_doc(path: str) -> dict:
     """Accept either bench.py's raw one-line JSON or the round
     driver's BENCH_r{N}.json wrapper (result under 'parsed')."""
     with open(path) as fh:
@@ -25,9 +37,29 @@ def load(path: str) -> dict[str, float]:
     except json.JSONDecodeError:
         # bench.py output preceded by log noise: last line is the JSON
         doc = json.loads(text.splitlines()[-1])
-    if "queries" in doc:
-        return doc["queries"]
-    return doc["parsed"]["queries"]
+    if "queries" not in doc and "parsed" in doc:
+        doc = doc["parsed"]
+    return doc
+
+
+def load(path: str) -> dict[str, float]:
+    return load_doc(path)["queries"]
+
+
+def host_factor(old_doc: dict, new_doc: dict) -> float | None:
+    """Geometric mean of the new/old calibration-probe ratios, or None
+    when either record predates the probe."""
+    old_c = old_doc.get("calibration")
+    new_c = new_doc.get("calibration")
+    if not old_c or not new_c:
+        return None
+    axes = sorted(set(old_c) & set(new_c))
+    if not axes:
+        return None
+    ratios = [new_c[a] / old_c[a] for a in axes if old_c[a] > 0]
+    if not ratios:
+        return None
+    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -36,25 +68,47 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("new")
     ap.add_argument("--flag", type=float, default=1.3,
                     help="regression ratio threshold (default 1.3)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="divide the new side by the calibration-probe "
+                         "host factor before comparing")
     args = ap.parse_args(argv)
 
-    old, new = load(args.old), load(args.new)
+    old_doc, new_doc = load_doc(args.old), load_doc(args.new)
+    old, new = old_doc["queries"], new_doc["queries"]
+    factor = 1.0
+    if args.normalize:
+        f = host_factor(old_doc, new_doc)
+        if f is None:
+            print("--normalize: no calibration probe in one or both "
+                  "records (pre-r07?); comparing raw", file=sys.stderr)
+        else:
+            factor = f
+            print(f"host factor (new/old probes, geomean): {factor:.3f} "
+                  f"— normalized columns divide new by this")
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
     regressions = []
-    print(f"{'query':42s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
+    norm_hdr = f" {'norm':>6s}" if factor != 1.0 else ""
+    print(f"{'query':42s} {'old':>7s} {'new':>7s} {'ratio':>6s}{norm_hdr}")
     for name in sorted(shared, key=lambda n: -(new[n] / max(old[n], 1e-9))):
         ratio = new[name] / max(old[name], 1e-9)
-        mark = " <-- REGRESSED" if ratio > args.flag else ""
-        print(f"{name:42s} {old[name]:7.2f} {new[name]:7.2f} {ratio:6.2f}{mark}")
-        if ratio > args.flag:
+        norm = ratio / factor
+        mark = " <-- REGRESSED" if norm > args.flag else ""
+        norm_col = f" {norm:6.2f}" if factor != 1.0 else ""
+        print(f"{name:42s} {old[name]:7.2f} {new[name]:7.2f} "
+              f"{ratio:6.2f}{norm_col}{mark}")
+        if norm > args.flag:
             regressions.append(name)
     t_old = sum(old[n] for n in shared)
     t_new = sum(new[n] for n in shared)
-    print(f"\nshared {len(shared)}: {t_old:.2f}s -> {t_new:.2f}s "
-          f"({t_new / max(t_old, 1e-9):.2f}x)")
+    line = (f"\nshared {len(shared)}: {t_old:.2f}s -> {t_new:.2f}s "
+            f"({t_new / max(t_old, 1e-9):.2f}x)")
+    if factor != 1.0:
+        line += (f"; normalized: {t_new / factor:.2f}s "
+                 f"({t_new / factor / max(t_old, 1e-9):.2f}x)")
+    print(line)
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:

@@ -366,6 +366,24 @@ def main() -> int:
 
     reg = registry()
     names = [n for n in names if n in reg]
+    # Oracle ANCHORS (tagged in the registry, round 8) keep COMPLETE
+    # band self-joins so DuckDB can replay them — running one on a
+    # saturated/scaled corpus measures the anchor contract, not the
+    # engine. Surface the capped production twin (named in the
+    # anchor's doc) so a sweep never mistakes anchor cost for a
+    # scale problem.
+    for n in names:
+        if "anchor" in reg[n].tags:
+            twins = [
+                m for m in reg
+                if m != n and m in reg[n].doc and "anchor" not in reg[m].tags
+            ]
+            print(
+                f"note: {n} is a correctness ANCHOR (complete band join "
+                f"by contract); the production scale path is: "
+                f"{', '.join(twins) or 'see its docstring'}",
+                flush=True,
+            )
     # warmup both dirs
     reg[names[0]].builder(spark, base).limit(1).collect()
     reg[names[0]].builder(spark, out).limit(1).collect()
