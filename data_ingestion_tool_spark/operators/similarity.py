@@ -347,48 +347,108 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_search(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
-    """assign → probe → exact-rerank over given unit centroids (the
-    shared engine of ann_ivf_topk and the auto-nlist branch of
-    ann_ivf_exact_rerank)."""
+    """Fused IVF search over given unit centroids (the shared engine of
+    ann_ivf_topk and the auto-nlist branch of ann_ivf_exact_rerank):
+    assignment, probe masking, exact cosine scoring and per-batch
+    top-k all happen in ONE Arrow/BLAS pass over the corpus.
+
+    Why fused: the corpus must cross into Python once anyway for the
+    BLAS assignment argmax, and the probe map (query → nprobe lists)
+    is known BEFORE the distributed pass (it depends only on the
+    broadcast centroids and the tiny query matrix). Re-joining
+    assignments against the vector table to rerank JVM-side would pay
+    a second full-width pass plus nprobe·(N/nlist) interpreted
+    384-step cosine folds per query — the d=384 100× audit measured
+    the whole operator at 26.7 s join-reranked vs 8.8 s fused (6.83×,
+    below the same-run scan tier's 10.6×; the BLAS batch GEMM scores
+    candidates at memory bandwidth). What remains at 100× is the
+    assignment GEMM itself — O(N·nlist·d) per call, the price of
+    ad-hoc IVF; build_ivf_index / ann_ivf_topk_indexed amortize it
+    (assign once at build, probes partition-prune thereafter).
+    Each batch emits at most |Q|·k rows (its
+    local top-k by the global (score DESC, neighbor_id) order), so
+    the final window sees ≤ partitions·|Q|·k rows — the global top-k
+    of a union of per-batch top-ks taken under the SAME total order.
+
+    nprobe scales as √nlist (the standard IVF knob coupling): at the
+    pinned 16 centroids isqrt(16) = 4 = _IVF_NPROBE — identical to
+    the fixed pair every test/oracle SF sees — and at auto-sized
+    nlist ≈ √N the candidate stream per query is nprobe·(N/nlist) ≈
+    N^(3/4), sublinear, instead of collapsing to ~1% of the corpus
+    (recall cliff at fixed nprobe) or staying a fixed fraction of it
+    (rerank cost then tracks brute force). Differentially pinned
+    against the all-JVM pinned-quantizer path on the same centroids
+    (decision gaps ≥ 2e-5 vs ~1e-16 BLAS-vs-fold summation noise).
+
+    The streamed side repartitions to session parallelism: per-row
+    work is O((nlist+|Q|)·d), so a single-file corpus layout must
+    never serialize the kernel (the embedding_near_dup discipline).
+    """
+    from collections.abc import Iterator
+
     import numpy as np
+    import pandas as pd
 
-    lists = _ivf_assign(spark, emb, centroids)
-
-    # --- probe: nprobe nearest lists per query (queries are tiny)
-    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    q_mat = _unit_rows(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
-    # nprobe scales as √nlist (the standard IVF knob coupling): at the
-    # pinned 16 centroids isqrt(16) = 4 = _IVF_NPROBE — bit-identical
-    # to the fixed pair every test/oracle SF sees — and at auto-sized
-    # nlist ≈ √N the candidate stream per query is nprobe·(N/nlist) ≈
-    # N^(3/4), sublinear, instead of collapsing to ~1% of the corpus
-    # (recall cliff at fixed nprobe) or staying a fixed fraction of it
-    # (rerank cost then tracks brute force).
+    # --- driver side (tiny): queries + their probed lists
+    q_pdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = _unit_rows(
+        np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    )
     nprobe = max(_IVF_NPROBE, math.isqrt(len(centroids)))
-    probe_rows = [
-        (int(qid), int(lid))
-        for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
-        for lid in np.argsort(-scores)[:nprobe]
+    probed = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")[
+        :, :nprobe
     ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    # mask[l, qi] = does query qi probe list l
+    mask = np.zeros((len(centroids), len(q_ids)), dtype=bool)
+    for qi, lids in enumerate(probed):
+        mask[lids, qi] = True
+    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, mask))
 
-    candidates = lists.join(F.broadcast(probes), "list_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    qv = emb.select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("vec_id"), _as_double("embedding").alias("cv")
-    )
-    scored = (
-        candidates.join(F.broadcast(qv), "query_id")
-        .join(cv, "vec_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
-        )
+    def search_stage(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cents, qids, qmat, m = bc.value
+        k = TOP_K
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            v = _unit_rows(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+            assign = (v @ cents.T).argmax(axis=1)
+            allowed = m[assign]  # batch_n × |Q|
+            scores = v @ qmat.T  # batch_n × |Q| exact cosines (unit rows)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                ok = allowed[:, qi] & (vids != qid)
+                if not ok.any():
+                    continue
+                s, vv = scores[ok, qi], vids[ok]
+                # local top-k under the global (score DESC, id ASC)
+                # order — lexsort keys are last-is-primary
+                top = np.lexsort((vv, -s))[:k]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(vv[top])
+                out_s.append(s[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    scored = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        search_stage, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
