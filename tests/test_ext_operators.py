@@ -1317,3 +1317,53 @@ def test_ivf_exact_rerank_auto_branch_matches_jvm_path(spark):
         .collect()
     }
     assert blas == jvm
+
+
+def test_ivf_exact_rerank_auto_branch_end_to_end(spark, monkeypatch):
+    """Force the auto-nlist branch at sf0.01 (threshold lowered so the
+    500-vector corpus crosses it: nlist = isqrt(500) = 22, nprobe =
+    isqrt(22) = 4) and verify the WHOLE branch — widened pinned-range
+    quantizer collect, BLAS assignment, probe map, fused rerank —
+    against an independent pure-numpy IVF reference computed from the
+    same parquet. The other auto-branch test pins the kernel against
+    the JVM path at the pinned 16; this one pins the glue at a
+    nlist the JVM path never runs."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_tool_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_IVF_AUTO_MIN_N", 100)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ann_ivf_exact_rerank(spark, SF_CORRECT).collect()
+    }
+
+    pdf = (
+        S._emb(spark, SF_CORRECT)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    v = S._unit_rows(np.vstack(pdf["embedding"].to_numpy()).astype(np.float64))
+    n = len(ids)
+    nlist = max(16, min(S._IVF_NLIST_MAX, math.isqrt(n)))
+    assert nlist == 22
+    cmask = (ids >= S._IVF_PIN_LO) & (ids < S._IVF_PIN_LO + nlist)
+    cents = v[cmask]  # already vec_id-ordered
+    assign = (v @ cents.T).argmax(axis=1)
+    nprobe = max(S._IVF_NPROBE, math.isqrt(nlist))
+    expected = set()
+    for qi in np.where(ids < S.N_QUERIES)[0]:
+        probed = np.argsort(-(v[qi] @ cents.T), kind="stable")[:nprobe]
+        ok = np.isin(assign, probed) & (ids != ids[qi])
+        s, vv = (v @ v[qi])[ok], ids[ok]
+        top = np.lexsort((vv, -s))[: S.TOP_K]
+        expected |= {
+            (int(ids[qi]), int(vv[t]), rank + 1)
+            for rank, t in enumerate(top)
+        }
+    assert got == expected
