@@ -51,76 +51,72 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-8 ROTATION (executed; round-7 verdict item 1 — finish the
-#: oracle-freshness rotation): (a) the three r03-stale deferrals the
-#: r07 window explicitly queued first (`dq_value_bounds`,
-#: `tpch_q6_forecast_revenue`, `value_histogram`); (b) ALL 29
-#: oracle-paired queries whose last green driver row is r04 (four
-#: rounds unchecked), alphabetical; (c) `ann_ivf_exact_rerank` — this
-#: round's auto-`nlist` change (r07 verdict item 2) touches its
-#: builder, and the verdict requires it green in the r08 window (the
-#: count probe lands every oracle SF on the pinned 16-centroid path,
-#: so the plan the driver replays is unchanged); (d) 17 r05-stale
-#: fillers, alphabetical, so after this round no oracle-paired
-#: query's last driver row is older than r05 except the remaining
-#: r05 tier itself (32 left, queued for r09). Oracle-paired entries
-#: only — rows-only entries record as `no_oracle` reds and never
-#: take a slot. (Round-7 window and earlier rotations: git history.)
+#: ROUND-9 ROTATION (executed; round-8 verdict item 1 — finish the
+#: oracle-freshness rotation): (a) ALL 31 oracle-paired queries whose
+#: last green driver row is r05 (the relational scalar / set-op /
+#: window tier plus `seasonal_value_anomalies` and `user_funnel`),
+#: alphabetical; (b) 19 r06-stale fillers, alphabetical, so after
+#: this round no oracle-paired query's last driver row is older than
+#: r06 (the remaining 31 r06 rows are the natural r10 window).
+#: Freshness is computed from the CORRECTNESS_r0N.json files on disk
+#: (latest round with rows+schema+hash all green per query); the r08
+#: verdict's per-query status table lists the identical sets. Oracle-
+#: paired entries only — rows-only entries record as `no_oracle` reds
+#: and never take a slot. (Round-8 window and earlier rotations: git
+#: history.)
 _FRONT = [
-    # (a) r03-stale deferrals — stalest rows in the registry
-    "dq_value_bounds",
-    "tpch_q6_forecast_revenue",
-    "value_histogram",
-    # (b) last green r04 — four-round regression sweep (all 29)
-    "agg_string_concat",
-    "bigram_logprob_scores",
-    "bm25_search",
-    "cooccurrence_pmi",
-    "cumulative_unique_users",
-    "dedup_impact_report",
-    "doc_quality_ensemble",
-    "doc_rolling_fingerprints",
-    "embedding_covariance",
-    "embedding_dimension_stats",
-    "exact_top_terms",
-    "exact_user_reach",
-    "frequent_event_sequences",
-    "label_centroid_norms",
-    "linewise_dedup",
-    "near_dup_graph_degree",
-    "pagerank_supply_graph",
-    "self_join_blowup_estimate",
-    "skyline_orders",
-    "source_vocab_overlap",
-    "stratified_weighted_sample",
-    "time_weighted_avg_value",
-    "token_ngram_novelty",
-    "tpch_q12_priority_shipping",
-    "tpch_q16_part_supplier_variety",
-    "tpch_q20_dominant_part_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "weighted_doc_sample",
-    "window_rank_extras",
-    # (c) touched by this round's auto-nlist change (r07 item 2)
-    "ann_ivf_exact_rerank",
-    # (d) r05-stale fillers, alphabetical
-    "agg_collect_sets",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_median_percentiles",
-    "agg_quantiles",
-    "agg_rollup",
-    "calendar_dim",
-    "customer_order_stats",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "event_attribution_last_touch",
-    "grouped_price_elasticity",
-    "market_basket_brand_pairs",
-    "null_safe_compare",
-    "orders_customers_full",
-    "orders_global_sort",
+    # (a) last green r05 — the full stale tier (all 31), alphabetical
+    "orders_in_subquery",
+    "orders_right_join_customers",
+    "pivot_status_counts",
+    "priciest_order_per_priority",
+    "pricing_summary",
+    "promo_revenue",
+    "region_nation_cross",
+    "revenue_by_nation",
+    "scalar_array_map_funcs",
+    "scalar_conditional_funcs",
+    "scalar_date_funcs",
+    "scalar_json_events",
+    "scalar_map_funcs",
+    "scalar_regex_extract",
+    "scalar_string_funcs",
+    "scalar_variant_events",
+    "seasonal_value_anomalies",
+    "set_except_customers",
+    "set_intersect_customers",
+    "set_union_all_customers",
+    "set_union_customers",
+    "supplier_balance_pairs",
+    "top_orders",
+    "top_revenue_orders",
+    "topk_orders_per_customer",
+    "user_funnel",
+    "window_lag_orders",
+    "window_ntile_orders",
+    "window_range_frame",
+    "window_rank_orders",
+    "window_running_total",
+    # (b) r06-stale fillers, alphabetical (first 19 of the 50-row tier)
+    "agg_statistics",
+    "agg_trimmed_mean_pandas",
+    "ann_bruteforce_topk",
+    "asof_last_event",
+    "decontaminate_ngram_overlap",
+    "dedup_exact_docs",
+    "dedup_first_event",
+    "dedup_minhash_md5",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_train_split",
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "events_gap_fill",
+    "explode_event_props",
+    "fuzzy_title_pairs",
+    "incremental_hourly_counts",
+    "lang_id",
 ]
 
 

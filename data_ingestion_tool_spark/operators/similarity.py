@@ -519,6 +519,8 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _emb(spark, sf_dir).select("vec_id", "embedding")
     nlist = _ivf_nlist(raw)
     if nlist > _IVF_NCENTROIDS:
+        import warnings
+
         import numpy as np
 
         cent_pdf = (
@@ -529,10 +531,34 @@ def ann_ivf_exact_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id")
             .toPandas()
         )
-        centroids = _unit_rows(
-            np.vstack(cent_pdf["embedding"].to_numpy()).astype(np.float64)
-        )
-        return _ivf_search(spark, raw, centroids)
+        # Sparse vec_ids can leave the widened pinned range thin (the
+        # quantizer shrinks, shrinking nprobe/recall with it) or empty
+        # (np.vstack of nothing raises). Thin gets a signal; empty
+        # falls back to the pinned 16-centroid path below, which
+        # selects by the same range bounds and tolerates any hit count.
+        if len(cent_pdf) == 0:
+            warnings.warn(
+                "ann_ivf_exact_rerank: pinned centroid range "
+                f"[{_IVF_PIN_LO}, {_IVF_PIN_LO + nlist}) holds no "
+                "vec_ids; falling back to the 16-centroid oracle path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            if len(cent_pdf) < nlist:
+                warnings.warn(
+                    "ann_ivf_exact_rerank: pinned centroid range holds "
+                    f"{len(cent_pdf)} of {nlist} ids (sparse vec_ids) — "
+                    "quantizer and nprobe shrink accordingly",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            centroids = _unit_rows(
+                np.vstack(cent_pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+            )
+            return _ivf_search(spark, raw, centroids)
     emb = raw.select("vec_id", _as_double("embedding").alias("v"))
     emb = emb.withColumn("vn", _norm(F.col("v")))
     cents = emb.filter(
@@ -740,7 +766,12 @@ def ann_ivf_topk_indexed(
     probe_rows = [
         (int(qid), int(lid))
         for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
-        for lid in np.argsort(-scores)[:nprobe]
+        # kind="stable" matches _ivf_search's tie rule (first-listed
+        # centroid wins on exactly-tied scores, e.g. duplicate
+        # embeddings) — an unstable sort could probe different lists
+        # than ann_ivf_topk and break the index's same-neighbors
+        # promise.
+        for lid in np.argsort(-scores, kind="stable")[:nprobe]
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     wanted = sorted({lid for _, lid in probe_rows})

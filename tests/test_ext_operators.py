@@ -1367,3 +1367,61 @@ def test_ivf_exact_rerank_auto_branch_end_to_end(spark, monkeypatch):
             for rank, t in enumerate(top)
         }
     assert got == expected
+
+
+def test_oracle_sf_corpora_below_ivf_auto_threshold(spark):
+    """The static ANN_IVF_EXACT_RERANK_SQL bakes the fixed 16-wide
+    pinned range, so oracle parity rests on the invariant that no
+    oracle/gate corpus ever crosses _IVF_AUTO_MIN_N (above it Spark
+    would quantize with ~sqrt(N) centroids while the SQL oracle keeps
+    16). Pin it loudly: if a future testdata generation grows the
+    embeddings tables past the threshold, this fails before the driver
+    gate silently diverges."""
+    from data_ingestion_tool_spark.operators.similarity import (
+        _IVF_AUTO_MIN_N,
+        _emb,
+    )
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        n = _emb(spark, sf_dir).count()
+        assert n < _IVF_AUTO_MIN_N, (
+            f"{sf_dir}: {n} embeddings >= _IVF_AUTO_MIN_N "
+            f"({_IVF_AUTO_MIN_N}) — the static oracle SQL's 16-wide "
+            "pinned quantizer no longer matches the Spark auto-nlist "
+            "branch at this SF"
+        )
+
+
+def test_ivf_exact_rerank_empty_pinned_range_falls_back(spark, monkeypatch):
+    """Sparse vec_ids can leave the widened auto-nlist pinned range
+    empty; the branch must warn and fall back to the pinned
+    16-centroid path instead of crashing in np.vstack."""
+    from data_ingestion_tool_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_IVF_AUTO_MIN_N", 100)
+    monkeypatch.setattr(S, "_IVF_PIN_LO", 10_000_000)
+    with pytest.warns(RuntimeWarning, match="holds no vec_ids"):
+        df = S.ann_ivf_exact_rerank(spark, SF_CORRECT)
+        # pinned-path fallback with an empty centroid set: runs clean,
+        # returns the (empty) exact answer for "no inverted lists"
+        assert df.count() == 0
+
+
+def test_ivf_exact_rerank_thin_pinned_range_warns(spark, monkeypatch):
+    """A partially-populated pinned range shrinks the quantizer (and
+    with it nprobe/recall); that must not be silent."""
+    from data_ingestion_tool_spark.operators import similarity as S
+
+    max_id = S._emb(spark, SF_CORRECT).agg(
+        F.max("vec_id")
+    ).collect()[0][0]
+    monkeypatch.setattr(S, "_IVF_AUTO_MIN_N", 100)
+    # range [max_id - 9, max_id - 9 + nlist) holds exactly 10 ids
+    monkeypatch.setattr(S, "_IVF_PIN_LO", int(max_id) - 9)
+    with pytest.warns(RuntimeWarning, match="10 of "):
+        df = S.ann_ivf_exact_rerank(spark, SF_CORRECT)
+        assert df.count() > 0

@@ -135,6 +135,23 @@ def test_bench_diff_normalize_divides_by_probe_ratio(tmp_path):
     assert bench_diff.main([str(bare), str(new), "--normalize"]) == 1
 
 
+def test_bench_diff_host_factor_skips_zero_probe_axes(tmp_path):
+    """A 0.0 probe value on EITHER side (timer resolution, degenerate
+    record) must drop that axis, not reach log(0)/div-0 (r08 ADVICE)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_diff
+
+    old = {"queries": {}, "calibration": {"a": 1.0, "b": 2.0}}
+    new_zero = {"queries": {}, "calibration": {"a": 0.0, "b": 4.0}}
+    assert abs(bench_diff.host_factor(old, new_zero) - 2.0) < 1e-9
+    old_zero = {"queries": {}, "calibration": {"a": 0.0, "b": 2.0}}
+    assert abs(bench_diff.host_factor(old_zero, new_zero) - 2.0) < 1e-9
+    all_zero = {"queries": {}, "calibration": {"a": 0.0}}
+    assert bench_diff.host_factor(all_zero, all_zero) is None
+
+
 def test_survey_registry_coverage_line_matches_live_registry():
     """SURVEY.md §2 carries a machine-readable registry-coverage line;
     it must track the live registry so §2 can't silently drift from

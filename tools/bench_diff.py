@@ -56,7 +56,14 @@ def host_factor(old_doc: dict, new_doc: dict) -> float | None:
     axes = sorted(set(old_c) & set(new_c))
     if not axes:
         return None
-    ratios = [new_c[a] / old_c[a] for a in axes if old_c[a] > 0]
+    # Both sides must be positive: a 0.0 probe value (timer resolution
+    # or a degenerate record) on EITHER side would reach log(0)/div-0;
+    # such an axis is dropped and the rest still normalize.
+    ratios = [
+        new_c[a] / old_c[a]
+        for a in axes
+        if old_c[a] > 0 and new_c[a] > 0
+    ]
     if not ratios:
         return None
     return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
