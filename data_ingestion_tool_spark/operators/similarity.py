@@ -287,14 +287,28 @@ def _ivf_train(emb: DataFrame, nlist: int = _IVF_NCENTROIDS):
     return centroids
 
 
-def _ivf_assign(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
-    """(vec_id, list_id): broadcast centroids, one BLAS argmax per
-    Arrow batch."""
+def _ivf_assign(
+    spark: SparkSession,
+    emb: DataFrame,
+    centroids,
+    *,
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """(vec_id, list_id[, embedding]): broadcast centroids, one BLAS
+    argmax per Arrow batch. ``keep_embedding`` passes the vector
+    through unchanged — the index build stores it so probes never have
+    to join back to the corpus (the FAISS-style inverted-list layout;
+    without it, partition pruning saves the index scan but the rerank
+    re-shuffles the full corpus to fetch vectors)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     bc = spark.sparkContext.broadcast(centroids)
+    out_schema = "vec_id long, list_id int"
+    if keep_embedding:
+        emb_type = emb.schema["embedding"].dataType.simpleString()
+        out_schema += f", embedding {emb_type}"
 
     def assign_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
@@ -304,14 +318,15 @@ def _ivf_assign(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
             m = _unit_rows(
                 np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "list_id": (m @ cents.T).argmax(axis=1).astype(np.int32),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "list_id": (m @ cents.T).argmax(axis=1).astype(np.int32),
+            }
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(assign_stage, "vec_id long, list_id int")
+    return emb.mapInPandas(assign_stage, out_schema)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,12 +399,33 @@ def _ivf_search(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
     work is O((nlist+|Q|)·d), so a single-file corpus layout must
     never serialize the kernel (the embedding_near_dup discipline).
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     # --- driver side (tiny): queries + their probed lists
+    q_ids, q_mat, _probed, mask = _ivf_probe_mask(emb, centroids)
+    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, mask))
+
+    scored = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        _ivf_rerank_stage(bc, stored_assign=False),
+        "query_id long, neighbor_id long, score double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _ivf_probe_mask(emb: DataFrame, centroids):
+    """Driver-side probe map shared by the fused search and the
+    indexed probe: collect the N_QUERIES query vectors (bounded), pick
+    each query's nprobe lists with a STABLE argsort (first-listed
+    centroid wins exact ties — both consumers must agree or the
+    index's same-neighbors promise breaks), and build the boolean
+    mask[list, query] the rerank kernel filters with."""
+    import numpy as np
+
     q_pdf = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .toPandas()
@@ -407,7 +443,20 @@ def _ivf_search(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
     mask = np.zeros((len(centroids), len(q_ids)), dtype=bool)
     for qi, lids in enumerate(probed):
         mask[lids, qi] = True
-    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, mask))
+    return q_ids, q_mat, probed, mask
+
+
+def _ivf_rerank_stage(bc, *, stored_assign: bool):
+    """The Arrow/BLAS rerank kernel shared by ``_ivf_search``
+    (assignment computed in-kernel — the ad-hoc operator's price) and
+    ``ann_ivf_topk_indexed`` (assignment read from the index's stored
+    ``list_id`` — the amortized path). Scoring, probe masking and the
+    per-batch top-k are identical, so the two paths return the same
+    neighbors by construction. Each batch emits ≤ |Q|·k rows."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     def search_stage(
         batches: Iterator[pd.DataFrame],
@@ -421,7 +470,10 @@ def _ivf_search(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
             v = _unit_rows(
                 np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             )
-            assign = (v @ cents.T).argmax(axis=1)
+            if stored_assign:
+                assign = pdf["list_id"].to_numpy(np.int64)
+            else:
+                assign = (v @ cents.T).argmax(axis=1)
             allowed = m[assign]  # batch_n × |Q|
             scores = v @ qmat.T  # batch_n × |Q| exact cosines (unit rows)
             out_q, out_n, out_s = [], [], []
@@ -445,17 +497,7 @@ def _ivf_search(spark: SparkSession, emb: DataFrame, centroids) -> DataFrame:
                     }
                 )
 
-    scored = emb.repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(
-        search_stage, "query_id long, neighbor_id long, score double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return search_stage
 
 
 #: Pinned quantizer for the oracle-paired IVF variant: the centroids
@@ -687,8 +729,15 @@ def build_ivf_index(
     with the build-time sizing however the corpus grows afterwards."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     centroids = _ivf_train(emb, _ivf_nlist(emb))
-    lists = _ivf_assign(spark, emb, centroids)
-    lists.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+    lists = _ivf_assign(spark, emb, centroids, keep_embedding=True)
+    # Cluster rows by list BEFORE the partitioned write: without the
+    # shuffle every scan task writes a sliver into every list_id
+    # directory — tasks×nlist files (14k at the 100× audit's 32×447),
+    # and probe-time file listing dominates the pruned scan. After it
+    # each list directory holds files from one task.
+    lists.repartition(F.col("list_id")).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(index_path)
     _save_ivf_centroids(spark, index_path, centroids)
 
 
@@ -735,65 +784,73 @@ def ivf_index_upsert(
             f"{index_path} has no persisted centroids; rebuild with "
             "build_ivf_index before upserting"
         )
-    lists = _ivf_assign(spark, new_emb.select("vec_id", "embedding"), centroids)
-    lists.write.mode("append").partitionBy("list_id").parquet(index_path)
+    if "embedding" not in spark.read.parquet(index_path).columns:
+        raise ValueError(
+            f"{index_path} predates embedding storage (vec_id/list_id "
+            "only); rebuild with build_ivf_index before upserting — "
+            "appending mixed schemas would corrupt the index"
+        )
+    lists = _ivf_assign(
+        spark,
+        new_emb.select("vec_id", "embedding"),
+        centroids,
+        keep_embedding=True,
+    )
+    lists.repartition(F.col("list_id")).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(index_path)
 
 
 def ann_ivf_topk_indexed(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
     """IVF probe against a prebuilt partitioned index: identical
-    output contract to ann_ivf_topk, but candidate listing reads ONLY
-    the probed list_id partitions (partition-pruned scan)."""
-    import numpy as np
+    output contract (and neighbors) to ann_ivf_topk, with the ad-hoc
+    operator's two scale costs amortized away:
 
+    - **no assignment GEMM** — the index stores each vector's list_id
+      (assigned once at build/upsert time with the persisted
+      quantizer), so the O(N·nlist·d) per-call assignment the fused
+      search pays is gone;
+    - **no full-corpus scan** — the index stores the embedding beside
+      the assignment (the FAISS inverted-list layout), so candidates
+      come from the probed list_id PARTITIONS only (pruned at file
+      listing, plan-asserted) and never join back to the corpus table.
+
+    The probed candidates then run the SAME Arrow/BLAS rerank kernel
+    as the fused search (``_ivf_rerank_stage`` with the stored
+    assignment), so the two paths agree bit-for-bit — including on
+    exactly-tied centroid scores, where both sides' stable argsort
+    picks the first-listed centroid. Per-probe cost is
+    nprobe·(N/nlist)·|Q|·d BLAS flops over a pruned scan — at
+    auto-sized nlist ≈ √N that is ~N^(3/4), and none of it rescans or
+    reshuffles the unprobed corpus."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     saved = load_ivf_centroids(spark, index_path)
     centroids = (
         saved if saved is not None else _ivf_train(emb, _ivf_nlist(emb))
     )
 
-    q_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    q_mat = _unit_rows(np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64))
-    # nprobe scales as √nlist (the standard IVF knob coupling): at the
-    # pinned 16 centroids isqrt(16) = 4 = _IVF_NPROBE — bit-identical
-    # to the fixed pair every test/oracle SF sees — and at auto-sized
-    # nlist ≈ √N the candidate stream per query is nprobe·(N/nlist) ≈
-    # N^(3/4), sublinear, instead of collapsing to ~1% of the corpus
-    # (recall cliff at fixed nprobe) or staying a fixed fraction of it
-    # (rerank cost then tracks brute force).
-    nprobe = max(_IVF_NPROBE, math.isqrt(len(centroids)))
-    probe_rows = [
-        (int(qid), int(lid))
-        for qid, scores in zip(q_pdf["vec_id"], q_mat @ centroids.T)
-        # kind="stable" matches _ivf_search's tie rule (first-listed
-        # centroid wins on exactly-tied scores, e.g. duplicate
-        # embeddings) — an unstable sort could probe different lists
-        # than ann_ivf_topk and break the index's same-neighbors
-        # promise.
-        for lid in np.argsort(-scores, kind="stable")[:nprobe]
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    wanted = sorted({lid for _, lid in probe_rows})
+    # driver side: same bounded query collect + stable probe map the
+    # fused search uses (nprobe = isqrt(nlist) coupling documented on
+    # _ivf_search)
+    q_ids, q_mat, probed, mask = _ivf_probe_mask(emb, centroids)
+    wanted = sorted({int(lid) for lids in probed for lid in lids})
 
     lists = spark.read.parquet(index_path).filter(
         F.col("list_id").isin(wanted)  # prunes partitions at listing
     )
-    candidates = lists.join(F.broadcast(probes), "list_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    qv = emb.select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
-    cv = emb.select("vec_id", _as_double("embedding").alias("cv"))
-    scored = (
-        candidates.join(F.broadcast(qv), "query_id")
-        .join(cv, "vec_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("cv")).alias("score"),
+    if "embedding" not in lists.columns:
+        raise ValueError(
+            f"{index_path} predates embedding storage (vec_id/list_id "
+            "only); rebuild with build_ivf_index"
         )
+    bc = spark.sparkContext.broadcast((centroids, q_ids, q_mat, mask))
+    scored = lists.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        _ivf_rerank_stage(bc, stored_assign=True),
+        "query_id long, neighbor_id long, score double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (

@@ -815,8 +815,9 @@ def test_every_driver_materialization_site_is_bounded():
 
     BOUNDED = {
         ("operators/similarity.py", "_ivf_train"),
-        # fused IVF search: N_QUERIES-row query collect (the probe map
-        # is driver-computed before the single distributed pass)
+        # fused IVF search / indexed probe: N_QUERIES-row query collect
+        # (the probe map is driver-computed before the distributed pass)
+        ("operators/similarity.py", "_ivf_probe_mask"),
         ("operators/similarity.py", "_ivf_search"),
         ("operators/similarity.py", "ann_bruteforce_topk"),
         ("operators/similarity.py", "ann_filtered_topk"),
