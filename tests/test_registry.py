@@ -152,6 +152,28 @@ def test_bench_diff_host_factor_skips_zero_probe_axes(tmp_path):
     assert bench_diff.host_factor(all_zero, all_zero) is None
 
 
+def test_bench_diff_host_factor_is_median_robust_to_one_axis(tmp_path):
+    """r09: one axis diverging for environmental reasons (BLAS
+    threading moved the gemm probe 2.7x while sort/scheduler read
+    flat) must not drag the factor — the median tracks the majority of
+    resource axes (geomean read 0.72 on the r09 close-out and turned a
+    raw-flat 1.02x comparison into a fictitious 1.41x regression
+    sweep)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_diff
+
+    old = {"queries": {}, "calibration": {"a": 1.0, "b": 1.0, "c": 1.0}}
+    new = {"queries": {}, "calibration": {"a": 0.36, "b": 0.98, "c": 1.06}}
+    assert abs(bench_diff.host_factor(old, new) - 0.98) < 1e-9
+    # even axis count -> mean of the middle two
+    old4 = {"queries": {}, "calibration": {a: 1.0 for a in "abcd"}}
+    new4 = {"queries": {}, "calibration":
+            {"a": 0.3, "b": 0.9, "c": 1.1, "d": 5.0}}
+    assert abs(bench_diff.host_factor(old4, new4) - 1.0) < 1e-9
+
+
 def test_survey_registry_coverage_line_matches_live_registry():
     """SURVEY.md §2 carries a machine-readable registry-coverage line;
     it must track the live registry so §2 can't silently drift from

@@ -10,20 +10,28 @@ total that actually hides a regression under new entries.
 
 --normalize (round 8, r07 verdict item 3) divides the new side by the
 host-state factor derived from the calibration probes both records
-carry (bench.py records a fixed-work gemm/sort/spark-job triple from
-r07 on): factor = geometric mean of the three new/old probe ratios.
-Identical probe inputs every run mean the factor measures the HOST,
-so the normalized ratio isolates what the CODE did — the r06/r07
-machine-state episodes are exactly what this divides out. With
---normalize, the --flag regression check applies to the normalized
-ratios. Records without a probe (pre-r07) can only be compared raw.
+carry (bench.py records fixed-work gemm/sort/spark-job axes from r07
+on, plus a disk axis from r09): factor = MEDIAN of the new/old probe
+ratios (round 9 — was geomean: the r09 close-out compared two records
+whose gemm axes differed 2.7x for environmental reasons, BLAS
+threading/turbo, while sort and scheduler read flat; the geomean let
+that single divergent axis drag the factor to 0.72 and inflate a
+raw-flat 1.02x comparison to a fictitious 1.41x "normalized"
+regression sweep. The median tracks the MAJORITY of resource axes, so
+one axis diverging for reasons that don't touch the query mix cannot
+poison the factor; per-axis ratios stay visible in the records for
+the case where the outlier axis IS the story). Identical probe inputs
+every run mean the factor measures the HOST, so the normalized ratio
+isolates what the CODE did — the r06/r07 machine-state episodes are
+exactly what this divides out. With --normalize, the --flag
+regression check applies to the normalized ratios. Records without a
+probe (pre-r07) can only be compared raw.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import math
 import sys
 
 
@@ -47,7 +55,8 @@ def load(path: str) -> dict[str, float]:
 
 
 def host_factor(old_doc: dict, new_doc: dict) -> float | None:
-    """Geometric mean of the new/old calibration-probe ratios, or None
+    """Median of the new/old calibration-probe ratios (robust to one
+    environmentally-divergent axis — see module docstring), or None
     when either record predates the probe."""
     old_c = old_doc.get("calibration")
     new_c = new_doc.get("calibration")
@@ -57,16 +66,19 @@ def host_factor(old_doc: dict, new_doc: dict) -> float | None:
     if not axes:
         return None
     # Both sides must be positive: a 0.0 probe value (timer resolution
-    # or a degenerate record) on EITHER side would reach log(0)/div-0;
+    # or a degenerate record) on EITHER side is degenerate;
     # such an axis is dropped and the rest still normalize.
-    ratios = [
+    ratios = sorted(
         new_c[a] / old_c[a]
         for a in axes
         if old_c[a] > 0 and new_c[a] > 0
-    ]
+    )
     if not ratios:
         return None
-    return math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return ratios[mid]
+    return 0.5 * (ratios[mid - 1] + ratios[mid])
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -90,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
                   "records (pre-r07?); comparing raw", file=sys.stderr)
         else:
             factor = f
-            print(f"host factor (new/old probes, geomean): {factor:.3f} "
+            print(f"host factor (new/old probes, median): {factor:.3f} "
                   f"— normalized columns divide new by this")
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
