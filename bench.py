@@ -247,6 +247,17 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
+    # 1-minute load average, recorded as adjudication METADATA — not
+    # in `calibration`, so it never enters host_factor normalization
+    # (its ratios are meaningless; its VALUE is the signal). The r09
+    # winsorized episode showed sustained external/hypervisor-level
+    # contention that no in-guest tool except load average tracked.
+    try:
+        with open("/proc/loadavg") as fh:
+            load1 = float(fh.read().split()[0])
+    except (OSError, ValueError):
+        load1 = None
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(total, 4),
@@ -256,6 +267,7 @@ def main() -> None:
         "runs": runs,
         "n_queries": len(names),
         "calibration": calibration,
+        "load1": load1,
     }
     # Full-precision record → stderr + a repo file: the driver's tail
     # capture keeps only the LAST 2000 stdout chars, and the round-4
