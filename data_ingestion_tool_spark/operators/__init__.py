@@ -51,72 +51,73 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-9 ROTATION (executed; round-8 verdict item 1 — finish the
+#: ROUND-10 ROTATION (executed; round-9 verdict item 1 — finish the
 #: oracle-freshness rotation): (a) ALL 31 oracle-paired queries whose
-#: last green driver row is r05 (the relational scalar / set-op /
-#: window tier plus `seasonal_value_anomalies` and `user_funnel`),
-#: alphabetical; (b) 19 r06-stale fillers, alphabetical, so after
-#: this round no oracle-paired query's last driver row is older than
-#: r06 (the remaining 31 r06 rows are the natural r10 window).
-#: Freshness is computed from the CORRECTNESS_r0N.json files on disk
-#: (latest round with rows+schema+hash all green per query); the r08
-#: verdict's per-query status table lists the identical sets. Oracle-
-#: paired entries only — rows-only entries record as `no_oracle` reds
-#: and never take a slot. (Round-8 window and earlier rotations: git
+#: last green driver row is r06 (the flagship ingest/validation path,
+#: the six r06 `media_*` rows, the r06 text tier, the r06 events
+#: windows, and the r06 relational leftovers), alphabetical; (b) 19
+#: r07-stale fillers, alphabetical, so after this round no
+#: oracle-paired query's last driver row is older than r07 (the
+#: remaining 31 r07 rows are the natural r11 window). Freshness is
+#: computed from the CORRECTNESS_r0N.json files on disk (latest round
+#: with rows+schema+hash all green per query); the r09 verdict's
+#: per-query status table lists the identical sets. Oracle-paired
+#: entries only — rows-only entries record as `no_oracle` reds and
+#: never take a slot. (Round-9 window and earlier rotations: git
 #: history.)
 _FRONT = [
-    # (a) last green r05 — the full stale tier (all 31), alphabetical
-    "orders_in_subquery",
-    "orders_right_join_customers",
-    "pivot_status_counts",
-    "priciest_order_per_priority",
-    "pricing_summary",
-    "promo_revenue",
-    "region_nation_cross",
-    "revenue_by_nation",
-    "scalar_array_map_funcs",
-    "scalar_conditional_funcs",
-    "scalar_date_funcs",
-    "scalar_json_events",
-    "scalar_map_funcs",
-    "scalar_regex_extract",
-    "scalar_string_funcs",
-    "scalar_variant_events",
-    "seasonal_value_anomalies",
-    "set_except_customers",
-    "set_intersect_customers",
-    "set_union_all_customers",
-    "set_union_customers",
-    "supplier_balance_pairs",
-    "top_orders",
-    "top_revenue_orders",
-    "topk_orders_per_customer",
-    "user_funnel",
-    "window_lag_orders",
-    "window_ntile_orders",
-    "window_range_frame",
-    "window_rank_orders",
-    "window_running_total",
-    # (b) r06-stale fillers, alphabetical (first 19 of the 50-row tier)
-    "agg_statistics",
-    "agg_trimmed_mean_pandas",
-    "ann_bruteforce_topk",
-    "asof_last_event",
-    "decontaminate_ngram_overlap",
-    "dedup_exact_docs",
-    "dedup_first_event",
-    "dedup_minhash_md5",
-    "dedup_ngram_jaccard",
-    "doc_chunks",
-    "doc_fingerprints",
-    "doc_train_split",
-    "embedding_near_dup",
-    "embedding_near_dup_blocked",
-    "events_gap_fill",
-    "explode_event_props",
-    "fuzzy_title_pairs",
-    "incremental_hourly_counts",
-    "lang_id",
+    # (a) last green r06 — the full stale tier (all 31), alphabetical
+    "lateral_top_orders",
+    "media_audio_samples",
+    "media_decode_shapes",
+    "media_dedup_exact",
+    "media_feature_norms",
+    "media_frame_sample",
+    "media_resize_shapes",
+    "multires_rollup",
+    "normalize_text",
+    "orders_above_customer_avg",
+    "orders_exists_subquery",
+    "pack_token_budget",
+    "purchases_after_clicks",
+    "quality_score_linear",
+    "redact_pii",
+    "repetition_score",
+    "salted_revenue_by_priority",
+    "scd2_user_history",
+    "session_windows",
+    "set_except_all_customers",
+    "set_intersect_all_customers",
+    "sliding_hourly",
+    "text_quality",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_counts",
+    "top_purchasers",
+    "training_data_pipeline",
+    "tumbling_hourly",
+    "unpivot_lineitem_metrics",
+    "validate_lineitem",
+    # (b) r07-stale fillers, alphabetical (first 19 of the 50-row tier)
+    "agg_regression",
+    "ann_filtered_topk",
+    "boilerplate_ngram_flags",
+    "concurrent_sessions",
+    "contrastive_negatives",
+    "corpus_prep_pipeline",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_near_clusters",
+    "dedup_simhash_md5",
+    "doc_sample_balanced",
+    "dq_duplicate_linenumbers",
+    "dq_orphan_orders",
+    "dq_price_drift_psi",
+    "equi_depth_histogram",
+    "event_transition_matrix",
+    "event_value_anomalies",
+    "global_click_purchase_pairs",
+    "hierarchy_rollup_cte",
 ]
 
 
