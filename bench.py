@@ -135,12 +135,19 @@ def _calibration_probe(spark) -> dict[str, float]:
     # pagerank_supply_graph) is sensitive to disk-window state the
     # CPU/memory/scheduler axes cannot see — r08's official record
     # drifted 1.07x on a "healthy" 3-axis probe. Fixed work: fsync a
-    # pinned 64 MB incompressible buffer to the bench tmpdir (the same
-    # filesystem Spark's checkpoints and shuffle spills land on), read
-    # it back, min of 3. os-level, not parquet, so the axis measures
-    # the DISK, not codec CPU.
+    # pinned 64 MB incompressible buffer, read it back, min of 3.
+    # os-level, not parquet, so the axis measures the DISK, not codec
+    # CPU. The probe writes under Spark's OWN spill root
+    # (spark.local.dir — r09 ADVICE: a TMPDIR-derived tempdir can be
+    # tmpfs on some hosts, measuring memcpy instead of the
+    # checkpoint/spill window). The read-back is page-cached, so the
+    # axis is FSYNC-WRITE-DOMINATED by design: exactly the syscall
+    # path checkpoint/shuffle-spill writes take.
     buf = rng.integers(0, 256, size=64 << 20, dtype=np.uint8).tobytes()
-    tmpdir = tempfile.mkdtemp(prefix="bench_disk_probe_")
+    spill_root = spark.sparkContext.getConf().get(
+        "spark.local.dir", tempfile.gettempdir()
+    ).split(",")[0]
+    tmpdir = tempfile.mkdtemp(prefix="bench_disk_probe_", dir=spill_root)
     path = os.path.join(tmpdir, "probe.bin")
 
     def _disk_roundtrip():
@@ -170,6 +177,43 @@ def _timed(fn) -> float:
     return time.perf_counter() - start
 
 
+def _read_load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
+def _idle_gate() -> dict:
+    """Verified-idle gate (r09 verdict item 2): two consecutive rounds'
+    official records landed in contended windows (r09: load1 5.8 at
+    record time, 1.14x raw on byte-unchanged plans) and had to be
+    adjudicated by local re-runs. Before the timed sweep, poll load1
+    and wait — bounded — for the machine to go idle; if it never does,
+    the record carries ``idle_gate: false`` so it self-describes as
+    contended instead of demanding prose. Runs BEFORE the Spark
+    session exists so our own JVM/warmup threads don't inflate the
+    reading. Threshold ~1.0: load1 is run-queue depth, and anything
+    sustained above one busy core contends with a 32-thread sweep."""
+    threshold = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "600"))
+    poll = 15.0
+    waited = 0.0
+    load1 = _read_load1()
+    while (
+        load1 is not None and load1 > threshold and waited < max_wait
+    ):
+        time.sleep(min(poll, max_wait - waited))
+        waited += poll
+        load1 = _read_load1()
+    return {
+        "idle_gate": bool(load1 is not None and load1 <= threshold),
+        "load1_at_gate": load1,
+        "idle_wait_sec": round(waited, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -183,6 +227,9 @@ def main() -> None:
     # cluster reading TB-scale tables) leaves a small-SF parquet as a
     # single partition and the first stage single-threaded. Clamp to
     # [1 MB, 128 MB]; at real scale the clamp returns the default.
+    # Verified-idle gate BEFORE the session/warmups — see _idle_gate.
+    gate = _idle_gate()
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total_bytes = sum(
         os.path.getsize(os.path.join(sf_dir, f))
@@ -252,11 +299,9 @@ def main() -> None:
     # (its ratios are meaningless; its VALUE is the signal). The r09
     # winsorized episode showed sustained external/hypervisor-level
     # contention that no in-guest tool except load average tracked.
-    try:
-        with open("/proc/loadavg") as fh:
-            load1 = float(fh.read().split()[0])
-    except (OSError, ValueError):
-        load1 = None
+    # NOTE: taken AFTER the sweep, so our own 32-thread run dominates
+    # it — the pre-sweep idle reading is `load1_at_gate`.
+    load1 = _read_load1()
 
     out = {
         "metric": "headline_queries_total_sec",
@@ -268,6 +313,7 @@ def main() -> None:
         "n_queries": len(names),
         "calibration": calibration,
         "load1": load1,
+        **gate,
     }
     # Full-precision record → stderr + a repo file: the driver's tail
     # capture keeps only the LAST 2000 stdout chars, and the round-4
