@@ -756,7 +756,10 @@ def _save_ivf_centroids(spark: SparkSession, index_path: str, centroids) -> None
 
 def load_ivf_centroids(spark: SparkSession, index_path: str):
     """Load the persisted quantizer; None when the index predates
-    centroid persistence (probe then falls back to retraining)."""
+    centroid persistence. Callers must treat None as rebuild-required:
+    the stored list_id assignments are only meaningful under the
+    persisted quantizer, so pairing them with freshly trained
+    centroids mis-routes probes (r09 ADVICE)."""
     import os
 
     import numpy as np
@@ -784,21 +787,140 @@ def ivf_index_upsert(
             f"{index_path} has no persisted centroids; rebuild with "
             "build_ivf_index before upserting"
         )
-    if "embedding" not in spark.read.parquet(index_path).columns:
+    idx_schema = spark.read.parquet(index_path).schema
+    if "embedding" not in idx_schema.names:
         raise ValueError(
             f"{index_path} predates embedding storage (vec_id/list_id "
             "only); rebuild with build_ivf_index before upserting — "
             "appending mixed schemas would corrupt the index"
         )
-    lists = _ivf_assign(
-        spark,
-        new_emb.select("vec_id", "embedding"),
-        centroids,
-        keep_embedding=True,
-    )
+    # Element-type guard (r09 ADVICE): the name check alone lets an
+    # array<double> batch append into an array<float> index — mixed
+    # parquet physical types across part files of one list, exactly
+    # the corruption the message above warns about. Cast the new
+    # vectors to the index's stored type; the index's type is the
+    # contract.
+    idx_type = idx_schema["embedding"].dataType
+    new_emb = new_emb.select("vec_id", "embedding")
+    if new_emb.schema["embedding"].dataType != idx_type:
+        new_emb = new_emb.withColumn(
+            "embedding", F.col("embedding").cast(idx_type)
+        )
+    lists = _ivf_assign(spark, new_emb, centroids, keep_embedding=True)
     lists.repartition(F.col("list_id")).write.mode("append").partitionBy(
         "list_id"
     ).parquet(index_path)
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite fragmented IVF inverted lists back to ≈``target_bytes``
+    files per ``list_id`` partition (r09 verdict item 3).
+
+    Every ``ivf_index_upsert`` (and every ``vector_index_stream``
+    micro-batch) APPENDS part files under the touched lists — correct,
+    but after K upserts a hot list holds K+ small files and the
+    indexed probe's pruned scan degrades into a file-listing problem:
+    the exact small-file failure ``sinks.layout.compact_files`` solves
+    for flat directories, applied here per-partition.
+
+    Discipline (the ``delete_where`` swap rules):
+
+    - only lists whose file count exceeds their byte-derived target
+      (``ceil(list_bytes / target_bytes)``) are rewritten — untouched
+      lists and the ``_centroids`` quantizer stay byte-identical;
+    - ONE Spark job rewrites all fragmented lists (read with
+      ``basePath`` so ``list_id`` survives, shuffle on
+      (list_id, slot) so each list lands in ≤ its target file count),
+      staged to a sibling temp dir, then swapped per-list via atomic
+      directory renames — readers see the old or the new layout of a
+      list, never a half-written one;
+    - row content is untouched, so probes return identical neighbors
+      before and after (pytest-pinned).
+
+    Returns ``{"lists_total", "lists_compacted", "files_before",
+    "files_after"}`` (file counts over the compacted lists only).
+    """
+    import os
+    import shutil
+
+    root = index_path.rstrip("/")
+    list_dirs = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("list_id=") and os.path.isdir(os.path.join(root, d))
+    )
+    frag: list[tuple[str, int]] = []  # (dirname, n_out)
+    files_before = 0
+    for d in list_dirs:
+        full = os.path.join(root, d)
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+        total = sum(os.path.getsize(os.path.join(full, n)) for n in names)
+        n_out = max(1, math.ceil(total / target_bytes))
+        if len(names) > n_out:
+            frag.append((d, n_out))
+            files_before += len(names)
+    if not frag:
+        return {
+            "lists_total": len(list_dirs),
+            "lists_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+    # One rewrite job for ALL fragmented lists: per-list jobs would be
+    # thousands of tiny jobs on a real index. The slot column caps the
+    # file count a large list keeps after compaction; hash-partition
+    # collisions can only MERGE slots of one list (fewer files), never
+    # split them across tasks.
+    slot_map = F.create_map(
+        *[
+            lit
+            for d, n_out in frag
+            for lit in (F.lit(int(d.split("=", 1)[1])), F.lit(n_out))
+        ]
+    )
+    src = spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, d) for d, _ in frag]
+    )
+    tmp = root + "__compact_tmp"
+    (
+        src.withColumn(
+            "__slot", F.pmod(F.hash("vec_id"), slot_map[F.col("list_id")])
+        )
+        .repartition(
+            sum(n for _, n in frag), F.col("list_id"), F.col("__slot")
+        )
+        .drop("__slot")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(tmp)
+    )
+    for d, _ in frag:
+        full = os.path.join(root, d)
+        old = full + "__compact_old"
+        os.rename(full, old)
+        os.rename(os.path.join(tmp, d), full)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    files_after = sum(
+        len(
+            [
+                n
+                for n in os.listdir(os.path.join(root, d))
+                if n.endswith(".parquet")
+            ]
+        )
+        for d, _ in frag
+    )
+    return {
+        "lists_total": len(list_dirs),
+        "lists_compacted": len(frag),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def ann_ivf_topk_indexed(
@@ -826,10 +948,18 @@ def ann_ivf_topk_indexed(
     auto-sized nlist ≈ √N that is ~N^(3/4), and none of it rescans or
     reshuffles the unprobed corpus."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    saved = load_ivf_centroids(spark, index_path)
-    centroids = (
-        saved if saved is not None else _ivf_train(emb, _ivf_nlist(emb))
-    )
+    centroids = load_ivf_centroids(spark, index_path)
+    if centroids is None:
+        # The stored list_id assignments are valid ONLY under the
+        # quantizer that produced them. Retraining here would pair
+        # fresh centroids with build-time list_ids: mask[assign]
+        # raises IndexError when the retrained nlist shrinks below a
+        # stored list_id, and silently mis-filters probes otherwise
+        # (r09 ADVICE) — refuse instead.
+        raise ValueError(
+            f"{index_path} has no persisted centroids (_centroids "
+            "missing); rebuild with build_ivf_index before probing"
+        )
 
     # driver side: same bounded query collect + stable probe map the
     # fused search uses (nprobe = isqrt(nlist) coupling documented on

@@ -967,6 +967,148 @@ def test_ivf_index_upsert_appends_without_rewriting(spark, tmp_path):
     assert grown == expected
 
 
+def test_compact_ivf_index_bounds_files_and_preserves_probes(
+    spark, tmp_path
+):
+    """r09 verdict item 3: K upserts fragment the touched lists (K+
+    part files each); compaction rewrites ONLY the fragmented lists
+    back to their byte-derived file target, leaves `_centroids` and
+    every already-compact list byte-identical, and the indexed probe
+    returns identical neighbors before/after. A second compaction is
+    a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_upsert,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf, idx)
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    for k in range(1, 4):  # 3 upserts -> up to 4+ files in hot lists
+        ivf_index_upsert(
+            spark,
+            idx,
+            emb.select(
+                (F.col("vec_id") + 10_000_000 * k).alias("vec_id"),
+                "embedding",
+            ),
+        )
+
+    def list_files(root):
+        out = {}
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if d.startswith("list_id=") and os.path.isdir(full):
+                out[d] = sorted(
+                    n for n in os.listdir(full) if n.endswith(".parquet")
+                )
+        return out
+
+    before = list_files(idx)
+    assert max(len(v) for v in before.values()) > 1, "no fragmentation"
+    cent_dir = os.path.join(idx, "_centroids")
+    cent_sig = {
+        n: os.path.getsize(os.path.join(cent_dir, n))
+        for n in os.listdir(cent_dir)
+    }
+    probe_before = sorted(
+        map(tuple, ann_ivf_topk_indexed(spark, sf, idx).collect())
+    )
+
+    stats = compact_ivf_index(spark, idx)
+    assert stats["lists_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    after = list_files(idx)
+    assert set(after) == set(before)
+    # tiny lists -> byte-derived target is 1 file per compacted list
+    for d, names in after.items():
+        if len(before[d]) > 1:
+            assert len(names) == 1, (d, names)
+        else:  # already-compact lists keep their exact files
+            assert names == before[d], d
+    assert {
+        n: os.path.getsize(os.path.join(cent_dir, n))
+        for n in os.listdir(cent_dir)
+    } == cent_sig
+
+    probe_after = sorted(
+        map(tuple, ann_ivf_topk_indexed(spark, sf, idx).collect())
+    )
+    assert probe_after == probe_before
+
+    again = compact_ivf_index(spark, idx)
+    assert again["lists_compacted"] == 0
+
+
+def test_indexed_probe_refuses_centroidless_index(spark, tmp_path):
+    """r09 ADVICE: stored list_id assignments are only valid under the
+    persisted quantizer — with `_centroids` gone the probe must demand
+    a rebuild, not silently retrain and mis-route (or IndexError on a
+    shrunken nlist)."""
+    import shutil
+
+    import pytest
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf, idx)
+    shutil.rmtree(idx + "/_centroids")
+    with pytest.raises(ValueError, match="rebuild"):
+        ann_ivf_topk_indexed(spark, sf, idx)
+
+
+def test_ivf_upsert_casts_new_vectors_to_index_element_type(
+    spark, tmp_path
+):
+    """r09 ADVICE: appending an array<double> batch into an
+    array<float> index (or vice versa) writes mixed parquet physical
+    types across one list's part files — the upsert must cast new
+    vectors to the index's stored type, and the grown index must read
+    back with the ORIGINAL element type end-to-end."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_upsert,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf, idx)
+    idx_type = spark.read.parquet(idx).schema["embedding"].dataType
+    flipped = (
+        "array<double>"
+        if idx_type.simpleString() == "array<float>"
+        else "array<float>"
+    )
+    emb = load_table(spark, sf, "embeddings")
+    new_emb = emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.col("embedding").cast(flipped).alias("embedding"),
+    )
+    ivf_index_upsert(spark, idx, new_emb)
+    grown = spark.read.parquet(idx)
+    assert grown.schema["embedding"].dataType == idx_type
+    # the mixed-schema corruption shows up at read time — prove the
+    # grown index scans clean
+    n_new = new_emb.count()
+    assert grown.where(F.col("vec_id") >= 10_000_000).count() == n_new
+
+
 def test_weighted_sample_biases_toward_heavy_docs(spark):
     """A-Res weighting works: the byte-weighted sample's mean doc size
     exceeds the corpus mean (deterministic draw → fixed assertion)."""
