@@ -273,18 +273,42 @@ TEXT_QUERIES = [
 ]
 
 
+#: Per-query audit-protocol overrides (r09 verdict item 5). The r09
+#: winsorized episode prescribed "min-of-4 from a warm replica" in
+#: PERF.md prose only — the tool now applies it, so the reproduction
+#: is one command and the protocol can't drift. ``runs``: timed shots
+#: (min reported; successive shots keep improving through shot 4 on
+#: this query — 1.1 GB page-cache + codegen warm-in, PERF.md r09);
+#: ``warmup``: additional untimed warm-in shots before the timed ones.
+QUERY_PROTOCOL: dict[str, dict[str, int]] = {
+    "winsorized_prices": {"runs": 4},
+}
+
+
 def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
     out = {}
     for name in names:
-        best = float("inf")
-        for _ in range(runs):
+        proto = QUERY_PROTOCOL.get(name, {})
+        n_runs = proto.get("runs", runs)
+        for _ in range(proto.get("warmup", 0)):
+            reg[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        shots = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             reg[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
+            shots.append(time.perf_counter() - t0)
+        best = min(shots)
         out[name] = round(best, 3)
-        print(f"  timed {name} @ {sf_dir}: {best:.3f}s", flush=True)
+        seq = (
+            " shots=[" + ", ".join(f"{s:.2f}" for s in shots) + "]"
+            if proto
+            else ""
+        )
+        print(f"  timed {name} @ {sf_dir}: {best:.3f}s{seq}", flush=True)
         # several operators persist intermediates as part of their
         # plan (a cost the timing above counts); drop them so block
         # storage doesn't accumulate across the 2·|names| timings and
@@ -319,6 +343,8 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         ann_ivf_topk,
         ann_ivf_topk_indexed,
         build_ivf_index,
+        compact_ivf_index,
+        ivf_index_upsert,
     )
     from data_ingestion_tool_spark.plans import formatted_plan
 
@@ -360,6 +386,65 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
     for label, b, p, a, pr in rows:
         print(f"{label:8s} {b:8.2f} {p:8.2f} {a:8.2f} {str(pr):>7s}")
     (_, b1, p1, a1, pr1), (_, bN, pN, aN, prN) = rows
+
+    # Fragmentation pricing (r09 verdict item 3): K tiny upserts model
+    # streaming micro-batches — rows barely grow, but every touched
+    # list gains a part file per batch, so the pruned probe's cost
+    # drifts from scan to file listing/open overhead.
+    # compact_ivf_index restores the layout; the probe is re-priced on
+    # IDENTICAL content both sides (compaction moves bytes, not rows).
+    idx = os.path.join(out, "_ivf_index_audit")
+    emb = spark.read.parquet(os.path.join(out, "embeddings.parquet"))
+    n_upserts, batch_rows = 16, 2000
+    t0 = time.perf_counter()
+    for k in range(1, n_upserts + 1):
+        batch = (
+            emb.select(
+                (F.col("vec_id") + 50_000_000 * k).alias("vec_id"),
+                "embedding",
+            ).limit(batch_rows)
+        )
+        ivf_index_upsert(spark, idx, batch)
+    upsert_sec = time.perf_counter() - t0
+
+    def max_files_per_list() -> int:
+        return max(
+            len([f for f in os.listdir(os.path.join(idx, d))
+                 if f.endswith(".parquet")])
+            for d in os.listdir(idx)
+            if d.startswith("list_id=")
+        )
+
+    frag_files = max_files_per_list()
+    frag_probe = min(
+        timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
+        for _ in range(3)
+    )
+    t0 = time.perf_counter()
+    stats = compact_ivf_index(spark, idx)
+    compact_sec = time.perf_counter() - t0
+    comp_probe = min(
+        timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
+        for _ in range(3)
+    )
+    print(
+        f"  fragmentation: {n_upserts} micro-upserts ({upsert_sec:.1f}s) "
+        f"-> max {frag_files} files/list, probe {frag_probe:.2f}s; "
+        f"compacted ({compact_sec:.1f}s, {stats['lists_compacted']} "
+        f"lists, {stats['files_before']}->{stats['files_after']} files) "
+        f"-> max {max_files_per_list()} files/list, "
+        f"probe {comp_probe:.2f}s",
+        flush=True,
+    )
+    report["fragmentation"] = {
+        "n_upserts": n_upserts,
+        "max_files_per_list_fragmented": frag_files,
+        "probe_fragmented_sec": round(frag_probe, 2),
+        "compact_sec": round(compact_sec, 2),
+        "lists_compacted": stats["lists_compacted"],
+        "max_files_per_list_compacted": max_files_per_list(),
+        "probe_compacted_sec": round(comp_probe, 2),
+    }
     report.update(
         {
             "build_sec": {"1x": round(b1, 2), f"{factor}x": round(bN, 2)},
