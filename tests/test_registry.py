@@ -174,6 +174,33 @@ def test_bench_diff_host_factor_is_median_robust_to_one_axis(tmp_path):
     assert abs(bench_diff.host_factor(old4, new4) - 1.0) < 1e-9
 
 
+def test_bench_idle_gate_bounded_and_self_describing(monkeypatch):
+    """r09 verdict item 2: the verified-idle gate must (a) pass through
+    immediately on an idle machine, (b) wait BOUNDED on a contended one
+    and record idle_gate=False so the record self-describes, (c) not
+    crash or spin when /proc/loadavg is unreadable."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "60")
+
+    monkeypatch.setattr(bench, "_read_load1", lambda: 0.2)
+    g = bench._idle_gate()
+    assert g == {
+        "idle_gate": True, "load1_at_gate": 0.2, "idle_wait_sec": 0.0,
+    }
+
+    monkeypatch.setattr(bench, "_read_load1", lambda: 5.0)
+    g = bench._idle_gate()
+    assert g == {
+        "idle_gate": False, "load1_at_gate": 5.0, "idle_wait_sec": 60.0,
+    }
+
+    monkeypatch.setattr(bench, "_read_load1", lambda: None)
+    g = bench._idle_gate()
+    assert g["idle_gate"] is False and g["load1_at_gate"] is None
+
+
 def test_survey_registry_coverage_line_matches_live_registry():
     """SURVEY.md §2 carries a machine-readable registry-coverage line;
     it must track the live registry so §2 can't silently drift from
