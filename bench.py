@@ -185,31 +185,57 @@ def _read_load1() -> float | None:
         return None
 
 
+def _gate_gemm_sec() -> float:
+    """One shot of the calibration GEMM (same pinned 768² ×10 work as
+    the probe), used as the gate's burst-compute axis."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((768, 768))
+    b = rng.standard_normal((768, 768))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.dot(a, b)
+    return time.perf_counter() - t0
+
+
 def _idle_gate() -> dict:
     """Verified-idle gate (r09 verdict item 2): two consecutive rounds'
     official records landed in contended windows (r09: load1 5.8 at
     record time, 1.14x raw on byte-unchanged plans) and had to be
-    adjudicated by local re-runs. Before the timed sweep, poll load1
-    and wait — bounded — for the machine to go idle; if it never does,
+    adjudicated by local re-runs. Before the timed sweep, poll and
+    wait — bounded — for the machine to go idle; if it never does,
     the record carries ``idle_gate: false`` so it self-describes as
     contended instead of demanding prose. Runs BEFORE the Spark
     session exists so our own JVM/warmup threads don't inflate the
-    reading. Threshold ~1.0: load1 is run-queue depth, and anything
-    sustained above one busy core contends with a 32-thread sweep."""
+    reading.
+
+    TWO axes, because the r10 close-out caught them failing
+    independently: (a) load1 ≤ ~1.0 — run-queue depth; anything
+    sustained above one busy core contends with a 32-thread sweep —
+    and (b) a one-shot pinned GEMM ≤ 0.12 s — hypervisor throttling:
+    a specimen window read load1 0.43 (gate passed) while the GEMM ran
+    21× its healthy price and the sweep 2.7× (every healthy window
+    r07-r10 reads the GEMM 0.015-0.056 s; throttled windows ≥ 0.17 s,
+    so 0.12 separates the classes with margin)."""
     threshold = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "1.0"))
+    gemm_max = float(os.environ.get("SPARK_GRAFT_IDLE_GEMM_SEC", "0.12"))
     max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "600"))
     poll = 15.0
     waited = 0.0
-    load1 = _read_load1()
-    while (
-        load1 is not None and load1 > threshold and waited < max_wait
-    ):
+
+    def _healthy(l1, gs):
+        return l1 is not None and l1 <= threshold and gs <= gemm_max
+
+    load1, gemm = _read_load1(), _gate_gemm_sec()
+    while not _healthy(load1, gemm) and load1 is not None and waited < max_wait:
         time.sleep(min(poll, max_wait - waited))
         waited += poll
-        load1 = _read_load1()
+        load1, gemm = _read_load1(), _gate_gemm_sec()
     return {
-        "idle_gate": bool(load1 is not None and load1 <= threshold),
+        "idle_gate": _healthy(load1, gemm),
         "load1_at_gate": load1,
+        "gemm_at_gate": round(gemm, 5),
         "idle_wait_sec": round(waited, 1),
     }
 

@@ -183,18 +183,28 @@ def test_bench_idle_gate_bounded_and_self_describing(monkeypatch):
 
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "60")
+    monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.02)
 
     monkeypatch.setattr(bench, "_read_load1", lambda: 0.2)
     g = bench._idle_gate()
     assert g == {
-        "idle_gate": True, "load1_at_gate": 0.2, "idle_wait_sec": 0.0,
+        "idle_gate": True, "load1_at_gate": 0.2, "gemm_at_gate": 0.02,
+        "idle_wait_sec": 0.0,
     }
 
     monkeypatch.setattr(bench, "_read_load1", lambda: 5.0)
     g = bench._idle_gate()
     assert g == {
-        "idle_gate": False, "load1_at_gate": 5.0, "idle_wait_sec": 60.0,
+        "idle_gate": False, "load1_at_gate": 5.0, "gemm_at_gate": 0.02,
+        "idle_wait_sec": 60.0,
     }
+
+    # throttled-hypervisor class (r10 specimen): load1 idle but the
+    # burst-compute axis degraded -> gate must NOT pass
+    monkeypatch.setattr(bench, "_read_load1", lambda: 0.2)
+    monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.33)
+    g = bench._idle_gate()
+    assert g["idle_gate"] is False and g["idle_wait_sec"] == 60.0
 
     monkeypatch.setattr(bench, "_read_load1", lambda: None)
     g = bench._idle_gate()
