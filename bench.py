@@ -227,6 +227,9 @@ def _idle_gate() -> dict:
     def _healthy(l1, gs):
         return l1 is not None and l1 <= threshold and gs <= gemm_max
 
+    _gate_gemm_sec()  # warm the BLAS thread pool: a fresh process's
+    # first GEMM pays ~0.4 s of one-time init that would read as
+    # "throttled" and burn a poll on a healthy machine
     load1, gemm = _read_load1(), _gate_gemm_sec()
     while not _healthy(load1, gemm) and load1 is not None and waited < max_wait:
         time.sleep(min(poll, max_wait - waited))
