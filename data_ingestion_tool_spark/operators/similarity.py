@@ -836,9 +836,12 @@ def compact_ivf_index(
     - ONE Spark job rewrites all fragmented lists (read with
       ``basePath`` so ``list_id`` survives, shuffle on
       (list_id, slot) so each list lands in ≤ its target file count),
-      staged to a sibling temp dir, then swapped per-list via atomic
-      directory renames — readers see the old or the new layout of a
-      list, never a half-written one;
+      staged to a sibling temp dir, then swapped per-list via two
+      atomic directory renames — a reader sees the old or the new
+      layout of each list, never a half-written one (the two-syscall
+      window between a list's renames can make that ONE list briefly
+      absent; displaced originals stage OUTSIDE the index root so a
+      crash never leaves a scan-visible stray partition);
     - row content is untouched, so probes return identical neighbors
       before and after (pytest-pinned).
 
@@ -871,39 +874,51 @@ def compact_ivf_index(
             "files_after": 0,
         }
     # One rewrite job for ALL fragmented lists: per-list jobs would be
-    # thousands of tiny jobs on a real index. The slot column caps the
-    # file count a large list keeps after compaction; hash-partition
+    # thousands of tiny jobs on a real index. The per-list slot target
+    # rides a BROADCAST join against a tiny (list_id, n_out) frame —
+    # a literal create_map would put 2·|fragmented lists| child
+    # expressions into one Catalyst node, which at the streaming scale
+    # this function exists for (10⁴–10⁵ hot lists) is minutes of
+    # analysis and a codegen-size risk. The slot column caps the file
+    # count a large list keeps after compaction; hash-partition
     # collisions can only MERGE slots of one list (fewer files), never
     # split them across tasks.
-    slot_map = F.create_map(
-        *[
-            lit
-            for d, n_out in frag
-            for lit in (F.lit(int(d.split("=", 1)[1])), F.lit(n_out))
-        ]
+    slot_targets = spark.createDataFrame(
+        [(int(d.split("=", 1)[1]), n_out) for d, n_out in frag],
+        "list_id int, __n_out int",
     )
     src = spark.read.option("basePath", root).parquet(
         *[os.path.join(root, d) for d, _ in frag]
     )
     tmp = root + "__compact_tmp"
     (
-        src.withColumn(
-            "__slot", F.pmod(F.hash("vec_id"), slot_map[F.col("list_id")])
+        src.join(F.broadcast(slot_targets), "list_id")
+        .withColumn(
+            "__slot", F.pmod(F.hash("vec_id"), F.col("__n_out"))
         )
         .repartition(
             sum(n for _, n in frag), F.col("list_id"), F.col("__slot")
         )
-        .drop("__slot")
+        .drop("__slot", "__n_out")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(tmp)
     )
+    # Displaced originals stage to a SIBLING of the index root — never
+    # inside it: a dir named "list_id=7__compact_old" under the root
+    # would be partition-DISCOVERED by the next index scan (flipping
+    # the inferred list_id type to string and duplicating rows), and a
+    # compaction retry would crash parsing it. Outside the root, a
+    # crash mid-swap leaves the index readable minus the one list
+    # whose two renames it interrupted; recovery = move that list's
+    # dir back from <root>__compact_old.
+    old_root = root + "__compact_old"
+    os.makedirs(old_root, exist_ok=True)
     for d, _ in frag:
         full = os.path.join(root, d)
-        old = full + "__compact_old"
-        os.rename(full, old)
+        os.rename(full, os.path.join(old_root, d))
         os.rename(os.path.join(tmp, d), full)
-        shutil.rmtree(old)
+    shutil.rmtree(old_root)
     shutil.rmtree(tmp, ignore_errors=True)
     files_after = sum(
         len(

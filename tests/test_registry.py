@@ -210,6 +210,14 @@ def test_bench_idle_gate_bounded_and_self_describing(monkeypatch):
     g = bench._idle_gate()
     assert g["idle_gate"] is False and g["load1_at_gate"] is None
 
+    # non-multiple budget: idle_wait_sec reports the actual bounded
+    # wait (100), not poll-count x poll (105)
+    monkeypatch.setenv("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "100")
+    monkeypatch.setattr(bench, "_read_load1", lambda: 5.0)
+    monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.02)
+    g = bench._idle_gate()
+    assert g["idle_wait_sec"] == 100.0
+
 
 def test_survey_registry_coverage_line_matches_live_registry():
     """SURVEY.md §2 carries a machine-readable registry-coverage line;
