@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -122,14 +123,10 @@ def _calibration_probe(spark) -> dict[str, float]:
     sort = min(
         _timed(lambda: np.sort(base, kind="stable")) for _ in range(3)
     )
-    spark_job = min(
-        _timed(
-            lambda: spark.range(1_000_000)
-            .selectExpr("sum(id * 2 + 1)")
-            .collect()
-        )
-        for _ in range(3)
-    )
+    # same pinned trivial job the in-sweep scheduler gate probes — the
+    # healthy band is calibrated against this axis's history, so the
+    # two must measure the same work forever
+    spark_job = min(_sched_probe_sec(spark) for _ in range(3))
     # Disk/IO axis (r08 verdict item 2): the checkpoint-writing query
     # class (dedup_simhash, dedup_minhash_lsh, concurrent_sessions,
     # pagerank_supply_graph) is sensitive to disk-window state the
@@ -210,6 +207,134 @@ def _gate_gemm_sec() -> float:
     return time.perf_counter() - t0
 
 
+def _sched_probe_sec(spark) -> float:
+    """One shot of the pinned trivial Spark job (1M-row JVM-side sum):
+    the scheduler/codegen axis. Identical work to the calibration
+    probe's ``spark_job_sec`` — the in-sweep health band is pinned
+    against that axis's committed history."""
+    return _timed(
+        lambda: spark.range(1_000_000)
+        .selectExpr("sum(id * 2 + 1)")
+        .collect()
+    )
+
+
+def _sweep_probe(spark) -> dict[str, float]:
+    """In-sweep host-health reading: the scheduler axis (min-of-3
+    trivial Spark job, same statistic as the calibration probe) plus a
+    one-shot pinned GEMM (the burst-compute axis the r10 close-out
+    caught degrading while the scheduler read healthy)."""
+    sched = min(_sched_probe_sec(spark) for _ in range(3))
+    return {
+        "sched_sec": round(sched, 5),
+        "gemm_sec": round(_gate_gemm_sec(), 5),
+    }
+
+
+def _probe_healthy(probe: dict[str, float]) -> bool:
+    """Healthy-band check for a :func:`_sweep_probe` reading.
+
+    Scheduler band: every healthy window in the committed
+    BENCH_LOCAL_HISTORY reads the min-of-3 trivial job 0.136-0.245 s;
+    the catastrophic windows read 0.32-0.77 s — 0.30 separates the
+    classes with margin. GEMM threshold: shared with the pre-session
+    idle gate (0.12 s; healthy 0.015-0.056, throttled >= 0.17)."""
+    band = float(os.environ.get("SPARK_GRAFT_SCHED_BAND_SEC", "0.30"))
+    gemm_max = float(os.environ.get("SPARK_GRAFT_IDLE_GEMM_SEC", "0.12"))
+    return probe["sched_sec"] <= band and probe["gemm_sec"] <= gemm_max
+
+
+def _await_sched_band(spark) -> tuple[dict[str, float], float]:
+    """Post-warmup in-sweep gate (r10 verdict item 1): the pre-session
+    idle gate demonstrably cannot prevent contended records — all 9
+    window-hunt runs passed it (load1 0.04-0.95 at gate) yet same-code
+    sweeps spread 64-105 s, and r10's official record degraded DURING
+    the sweep (GEMM 0.636 s at calibration, 0.0497 at gate). Probe the
+    scheduler+GEMM axes with the Spark session LIVE and wait — bounded
+    — until both read inside their pinned healthy bands before
+    starting (or retrying) the timed sweep. Returns the last probe
+    reading and the seconds waited; the caller stamps both so an
+    off-band start self-describes."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_SCHED_MAX_WAIT_SEC", "180"))
+    poll = 15.0
+    waited = 0.0
+    probe = _sweep_probe(spark)
+    while not _probe_healthy(probe) and waited < max_wait:
+        step = min(poll, max_wait - waited)
+        time.sleep(step)
+        waited += step
+        probe = _sweep_probe(spark)
+    return probe, waited
+
+
+def _sweep_with_retry(spark, sweep_fn) -> dict:
+    """Run the timed sweep with bounded contention retry (r10 verdict
+    item 1c): gate each attempt's START on :func:`_await_sched_band`,
+    re-probe at sweep END, and — when either reading is off-band —
+    re-run the whole sweep (default 2 retries) keeping the attempt
+    with the MIN total. The record carries ``sweep_healthy`` (the kept
+    attempt's start AND end probes both in-band) plus the per-attempt
+    log, so a contended record is machine-readable instead of needing
+    adjudication prose. Contention only ever slows a sweep, so min
+    total is safe to keep even off a flagged attempt."""
+    max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_SWEEP_RETRIES", "2"))
+    attempt_log: list[dict] = []
+    kept: dict | None = None
+    for _ in range(max_attempts):
+        start_probe, start_wait = _await_sched_band(spark)
+        timings, total = sweep_fn()
+        end_probe = _sweep_probe(spark)
+        healthy = _probe_healthy(start_probe) and _probe_healthy(end_probe)
+        attempt = {
+            "total_sec": round(total, 4),
+            "sched_at_start": start_probe["sched_sec"],
+            "gemm_at_start": start_probe["gemm_sec"],
+            "sched_at_end": end_probe["sched_sec"],
+            "gemm_at_end": end_probe["gemm_sec"],
+            "start_wait_sec": round(start_wait, 1),
+            "healthy": healthy,
+        }
+        attempt_log.append(attempt)
+        if kept is None or total < kept["total"]:
+            kept = {"timings": timings, "total": total, "attempt": attempt}
+        if healthy:
+            break
+    assert kept is not None
+    return {
+        "timings": kept["timings"],
+        "total": kept["total"],
+        "sweep_healthy": kept["attempt"]["healthy"],
+        "sweep_attempts": len(attempt_log),
+        "sched_at_start": kept["attempt"]["sched_at_start"],
+        "sched_at_end": kept["attempt"]["sched_at_end"],
+        "gemm_at_end": kept["attempt"]["gemm_at_end"],
+        "sweep_attempt_log": attempt_log,
+    }
+
+
+def _git_tree(repo_dir: str) -> dict:
+    """Stamp the measured tree into the record (r10 verdict item 3):
+    same-code/cross-code bench comparisons — like r10's decisive
+    r08-tree A/B — must be machine-checkable from the history alone,
+    not prose. ``tree`` = HEAD sha, ``dirty`` = uncommitted changes
+    present. Null on any git failure (bench must never die on this)."""
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if head.returncode != 0:
+            return {"tree": None, "dirty": None}
+        status = subprocess.run(
+            ["git", "-C", repo_dir, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        )
+        dirty = bool(status.stdout.strip()) if status.returncode == 0 else None
+        return {"tree": head.stdout.strip(), "dirty": dirty}
+    except Exception:
+        return {"tree": None, "dirty": None}
+
+
 def _idle_gate() -> dict:
     """Verified-idle gate (r09 verdict item 2): two consecutive rounds'
     official records landed in contended windows (r09: load1 5.8 at
@@ -236,13 +361,17 @@ def _idle_gate() -> dict:
     waited = 0.0
 
     def _healthy(l1, gs):
-        return l1 is not None and l1 <= threshold and gs <= gemm_max
+        # loadavg unreadable (non-Linux host): gate on the GEMM axis
+        # alone rather than permanently marking every record contended
+        # (r10 ADVICE) — load1_at_gate records null so the reading
+        # self-describes as single-axis.
+        return (l1 is None or l1 <= threshold) and gs <= gemm_max
 
     _gate_gemm_sec()  # warm the BLAS thread pool: a fresh process's
     # first GEMM pays ~0.4 s of one-time init that would read as
     # "throttled" and burn a poll on a healthy machine
     load1, gemm = _read_load1(), _gate_gemm_sec()
-    while not _healthy(load1, gemm) and load1 is not None and waited < max_wait:
+    while not _healthy(load1, gemm) and waited < max_wait:
         step = min(poll, max_wait - waited)
         time.sleep(step)
         waited += step  # exact accounting: the final step may be short
@@ -286,7 +415,6 @@ def main() -> None:
     reg = registry()
     names = [n for n in HEADLINE if n in reg]
 
-    timings: dict[str, float] = {}
     # warmup: JVM + parquet footer caches on a trivial action
     reg[names[0]].builder(spark, sf_dir).limit(1).collect()
     # warmup: fork the Python-worker pool + Arrow serde once, so the
@@ -322,18 +450,29 @@ def main() -> None:
     # numbers swing 2× with scheduler/CPU-frequency noise at small SF;
     # the min is the reproducible steady-state cost of the plan.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    total = 0.0
-    for name in names:
-        best = float("inf")
-        for _ in range(runs):
-            start = time.perf_counter()
-            df = reg[name].builder(spark, sf_dir)
-            # Force full execution of the plan without collecting wide
-            # results to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
-        total += best
+
+    def _sweep() -> tuple[dict[str, float], float]:
+        sweep_timings: dict[str, float] = {}
+        sweep_total = 0.0
+        for name in names:
+            best = float("inf")
+            for _ in range(runs):
+                start = time.perf_counter()
+                df = reg[name].builder(spark, sf_dir)
+                # Force full execution of the plan without collecting
+                # wide results to the driver.
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            sweep_timings[name] = round(best, 4)
+            sweep_total += best
+        return sweep_timings, sweep_total
+
+    # In-sweep contention gate + bounded retry (r10 verdict item 1):
+    # gate each attempt's start on the live scheduler/GEMM axes,
+    # re-probe at sweep end, retry off-band sweeps, keep the min.
+    sweep = _sweep_with_retry(spark, _sweep)
+    timings = sweep["timings"]
+    total = sweep["total"]
 
     # 1-minute load average, recorded as adjudication METADATA — not
     # in `calibration`, so it never enters host_factor normalization
@@ -355,6 +494,13 @@ def main() -> None:
         "calibration": calibration,
         "load1": load1,
         **gate,
+        "sweep_healthy": sweep["sweep_healthy"],
+        "sweep_attempts": sweep["sweep_attempts"],
+        "sched_at_start": sweep["sched_at_start"],
+        "sched_at_end": sweep["sched_at_end"],
+        "gemm_at_end": sweep["gemm_at_end"],
+        "sweep_attempt_log": sweep["sweep_attempt_log"],
+        **_git_tree(os.path.dirname(os.path.abspath(__file__))),
     }
     # Full-precision record → stderr + a repo file: the driver's tail
     # capture keeps only the LAST 2000 stdout chars, and the round-4
@@ -386,6 +532,9 @@ def main() -> None:
     # the omissions.
     budget = 1900
     compact = dict(out, queries={n: round(t, 2) for n, t in timings.items()})
+    # per-attempt log lives in the full record/history only; the
+    # compact stdout line keeps the kept attempt's summary fields
+    compact.pop("sweep_attempt_log", None)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > budget:
         by_cost = sorted(timings, key=timings.get, reverse=True)

@@ -51,73 +51,74 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-10 ROTATION (executed; round-9 verdict item 1 — finish the
-#: oracle-freshness rotation): (a) ALL 31 oracle-paired queries whose
-#: last green driver row is r06 (the flagship ingest/validation path,
-#: the six r06 `media_*` rows, the r06 text tier, the r06 events
-#: windows, and the r06 relational leftovers), alphabetical; (b) 19
-#: r07-stale fillers, alphabetical, so after this round no
-#: oracle-paired query's last driver row is older than r07 (the
-#: remaining 31 r07 rows are the natural r11 window). Freshness is
-#: computed from the CORRECTNESS_r0N.json files on disk (latest round
-#: with rows+schema+hash all green per query); the r09 verdict's
+#: ROUND-11 ROTATION (executed; round-10 verdict item 2 — steady-state
+#: cadence, one freshness tier per round): (a) ALL 31 oracle-paired
+#: queries whose last green driver row is r07 (the ten TPC-H shapes,
+#: `winsorized_prices`, the semantic/near-dup leftovers, the
+#: mixing/sampling text tier, the feature-store pair, the DQ/profile
+#: rows), alphabetical; (b) 19 r08-stale fillers, alphabetical (first
+#: 19 of the 50-row r08 tier), so after this round no oracle-paired
+#: query's last driver row is older than r08 (the remaining 31 r08
+#: rows are the natural r12 window). Freshness is computed from the
+#: CORRECTNESS_r0N.json files on disk (latest round with
+#: rows+schema+hash all green per query); the r10 verdict's
 #: per-query status table lists the identical sets. Oracle-paired
 #: entries only — rows-only entries record as `no_oracle` reds and
-#: never take a slot. (Round-9 window and earlier rotations: git
+#: never take a slot. (Round-10 window and earlier rotations: git
 #: history.)
 _FRONT = [
-    # (a) last green r06 — the full stale tier (all 31), alphabetical
-    "lateral_top_orders",
-    "media_audio_samples",
-    "media_decode_shapes",
-    "media_dedup_exact",
-    "media_feature_norms",
-    "media_frame_sample",
-    "media_resize_shapes",
-    "multires_rollup",
-    "normalize_text",
-    "orders_above_customer_avg",
-    "orders_exists_subquery",
-    "pack_token_budget",
-    "purchases_after_clicks",
-    "quality_score_linear",
-    "redact_pii",
-    "repetition_score",
-    "salted_revenue_by_priority",
-    "scd2_user_history",
-    "session_windows",
-    "set_except_all_customers",
-    "set_intersect_all_customers",
-    "sliding_hourly",
-    "text_quality",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_counts",
-    "top_purchasers",
-    "training_data_pipeline",
-    "tumbling_hourly",
-    "unpivot_lineitem_metrics",
-    "validate_lineitem",
-    # (b) r07-stale fillers, alphabetical (first 19 of the 50-row tier)
-    "agg_regression",
-    "ann_filtered_topk",
-    "boilerplate_ngram_flags",
-    "concurrent_sessions",
-    "contrastive_negatives",
-    "corpus_prep_pipeline",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_near_clusters",
-    "dedup_simhash_md5",
-    "doc_sample_balanced",
-    "dq_duplicate_linenumbers",
-    "dq_orphan_orders",
-    "dq_price_drift_psi",
-    "equi_depth_histogram",
-    "event_transition_matrix",
-    "event_value_anomalies",
-    "global_click_purchase_pairs",
-    "hierarchy_rollup_cte",
+    # (a) last green r07 — the full stale tier (all 31), alphabetical
+    "idle_rich_customers",
+    "important_part_stock",
+    "join_key_skew_profile",
+    "length_bucketed_batches",
+    "media_metadata_stats",
+    "next_purchase_value",
+    "orders_snapshot_diff",
+    "point_in_time_features",
+    "profile_orders",
+    "rolling_weekly_active_users",
+    "semantic_dedup",
+    "shared_span_pairs",
+    "source_mixing_weights",
+    "source_token_entropy",
+    "temperature_mixed_sample",
+    "top_supplier_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_last_shipper",
+    "tpch_q4_late_order_priority",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_shape",
+    "unigram_logprob_scores",
+    "user_activity_similarity",
+    "user_retention_cohorts",
+    "vocab_oov_rate",
+    "winsorized_prices",
+    # (b) r08-stale fillers, alphabetical (first 19 of the 50-row tier)
+    "agg_collect_sets",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_median_percentiles",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_string_concat",
+    "ann_ivf_exact_rerank",
+    "bigram_logprob_scores",
+    "bm25_search",
+    "calendar_dim",
+    "cooccurrence_pmi",
+    "cumulative_unique_users",
+    "customer_order_stats",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "dedup_impact_report",
+    "doc_quality_ensemble",
 ]
 
 

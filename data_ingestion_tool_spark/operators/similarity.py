@@ -845,6 +845,30 @@ def compact_ivf_index(
     - row content is untouched, so probes return identical neighbors
       before and after (pytest-pinned).
 
+    **Exclusive-access contract (hard precondition):** compaction is a
+    SINGLE-WRITER maintenance operation — no concurrent
+    ``ivf_index_upsert`` / ``vector_index_stream`` batch and no
+    concurrent probe may run during the swap window. A writer racing
+    the swap can append into a directory mid-rename; a probe racing it
+    can see a list briefly absent and silently return missing
+    neighbors rather than erroring. Writers are fenced by a lock file
+    under the index root (``_compact.lock``, O_EXCL — a second
+    compaction or a lock-honoring upsert fails fast); probe callers
+    must be quiesced by the caller's scheduler (probes take no lock —
+    they are the hot path).
+
+    **Crash recovery:** a run that finds a non-empty
+    ``<root>__compact_old`` (a prior compaction died mid-swap) first
+    RESTORES every displaced list whose ``list_id=`` dir is missing
+    under the root, then removes the leftovers — so retrying after a
+    crash is always safe and never destroys the only copy of a list.
+
+    **Scale boundary (object stores):** the staged swap assumes
+    POSIX-atomic same-volume directory rename (local disk, HDFS). On
+    S3/GCS, rename is copy+delete and not atomic — a production port
+    replaces the swap step (only it; the one-job rewrite is unchanged)
+    with a manifest/metastore commit, the Delta/Iceberg pattern.
+
     Returns ``{"lists_total", "lists_compacted", "files_before",
     "files_after"}`` (file counts over the compacted lists only).
     """
@@ -852,12 +876,50 @@ def compact_ivf_index(
     import shutil
 
     root = index_path.rstrip("/")
+    old_root = root + "__compact_old"
+    lock_path = os.path.join(root, "_compact.lock")
+    # single-writer fence: see the exclusive-access contract above
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        return _compact_ivf_locked(
+            spark, root, old_root, target_bytes=target_bytes
+        )
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock_path)
+
+
+def _compact_ivf_locked(
+    spark: SparkSession,
+    root: str,
+    old_root: str,
+    *,
+    target_bytes: int,
+) -> dict:
+    import os
+    import shutil
+
+    # Crash recovery BEFORE planning (r10 ADVICE, medium): if a prior
+    # run died between a list's two renames, that list's ONLY copy
+    # lives under old_root — a naive re-run would not see it under
+    # root, compact the rest, then rmtree(old_root) and destroy it.
+    # Restore any displaced list whose root dir is missing; lists
+    # present under BOTH roots finished their swap (the old copy is
+    # the superseded original) and are safe to drop with the rest.
+    if os.path.isdir(old_root):
+        for d in sorted(os.listdir(old_root)):
+            if d.startswith("list_id=") and not os.path.isdir(
+                os.path.join(root, d)
+            ):
+                os.rename(os.path.join(old_root, d), os.path.join(root, d))
+        shutil.rmtree(old_root)
+
     list_dirs = sorted(
         d for d in os.listdir(root)
         if d.startswith("list_id=") and os.path.isdir(os.path.join(root, d))
     )
     frag: list[tuple[str, int]] = []  # (dirname, n_out)
-    files_before = 0
+    n_files_before: dict[str, int] = {}
     for d in list_dirs:
         full = os.path.join(root, d)
         names = [n for n in os.listdir(full) if n.endswith(".parquet")]
@@ -865,7 +927,7 @@ def compact_ivf_index(
         n_out = max(1, math.ceil(total / target_bytes))
         if len(names) > n_out:
             frag.append((d, n_out))
-            files_before += len(names)
+            n_files_before[d] = len(names)
     if not frag:
         return {
             "lists_total": len(list_dirs),
@@ -904,17 +966,24 @@ def compact_ivf_index(
         .partitionBy("list_id")
         .parquet(tmp)
     )
+    # Verify EVERY rewrite landed before displacing anything (r10
+    # ADVICE, low): a fragmented list whose part files hold zero rows
+    # produces no partition dir in tmp — renaming its missing tmp dir
+    # would raise AFTER the original was displaced, leaving the list
+    # absent until manual recovery. Such lists are skipped (their
+    # original empty-but-fragmented files stay in place; nothing to
+    # compact in zero rows).
+    swapped = [d for d, _ in frag if os.path.isdir(os.path.join(tmp, d))]
     # Displaced originals stage to a SIBLING of the index root — never
     # inside it: a dir named "list_id=7__compact_old" under the root
     # would be partition-DISCOVERED by the next index scan (flipping
     # the inferred list_id type to string and duplicating rows), and a
     # compaction retry would crash parsing it. Outside the root, a
     # crash mid-swap leaves the index readable minus the one list
-    # whose two renames it interrupted; recovery = move that list's
-    # dir back from <root>__compact_old.
-    old_root = root + "__compact_old"
+    # whose two renames it interrupted; the entry-time recovery pass
+    # restores that list from <root>__compact_old on the next run.
     os.makedirs(old_root, exist_ok=True)
-    for d, _ in frag:
+    for d in swapped:
         full = os.path.join(root, d)
         os.rename(full, os.path.join(old_root, d))
         os.rename(os.path.join(tmp, d), full)
@@ -928,12 +997,12 @@ def compact_ivf_index(
                 if n.endswith(".parquet")
             ]
         )
-        for d, _ in frag
+        for d in swapped
     )
     return {
         "lists_total": len(list_dirs),
-        "lists_compacted": len(frag),
-        "files_before": files_before,
+        "lists_compacted": len(swapped),
+        "files_before": sum(n_files_before[d] for d in swapped),
         "files_after": files_after,
     }
 

@@ -14,6 +14,21 @@ costs dwarf the scan.
 The reference tool appends blindly per ingested file
 (``box_ingest.py:124-129``) and has no maintenance story; these are the
 Spark-native operators a production deployment runs nightly.
+
+**Staged-swap scale boundary (shared contract for every rename-based op
+in this module — compact_files, write_audit_publish, delete_where,
+update_where, merge_upsert_where):** each op stages its complete output
+to a sibling temp dir while the published files are untouched, then
+publishes via POSIX same-volume ``os.rename`` / ``os.remove`` — atomic
+and metadata-only on local disk and HDFS, which is what makes readers
+see old-or-new, never half-written. On an object store (S3/GCS) rename
+is copy+delete and NOT atomic: a production port replaces the publish
+step — and ONLY it; the predicate-pushed scans, file targeting, and
+one-job rewrites are unchanged — with a manifest/metastore commit (the
+Delta/Iceberg transaction-log pattern; ``sinks.tables`` holds the
+table-catalog variants). The same boundary is documented on
+``operators.similarity.compact_ivf_index`` and the streaming state
+snapshot in ``streaming.streams``.
 """
 
 from __future__ import annotations
@@ -140,8 +155,9 @@ def compact_files(
     tracks data volume. The rewrite is one job — a round-robin
     ``repartition`` (or a range partition + sort when ``sort_within``
     is given, preserving clustering through compaction) and an
-    atomic-rename swap via a sibling temp dir. Returns (files_before,
-    files_after)."""
+    atomic-rename swap via a sibling temp dir (POSIX/HDFS only — see
+    the module docstring's staged-swap scale boundary for the
+    object-store substitute). Returns (files_before, files_after)."""
     names = [n for n in os.listdir(path) if n.endswith(".parquet")]
     total_bytes = sum(os.path.getsize(os.path.join(path, n)) for n in names)
     n_out = max(1, math.ceil(total_bytes / target_bytes))
@@ -349,7 +365,9 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> dict:
     or partitioned layout at 100 TB, deleting one user touches a
     handful of files, not the table. (Delta/Iceberg wrap the same
     file-level rewrite in a transaction log; the rewrite discipline
-    is identical, the atomicity is per-file here.)
+    is identical, the atomicity is per-file here. The remove+rename
+    publish assumes POSIX/HDFS semantics — see the module docstring's
+    staged-swap scale boundary for the object-store substitute.)
 
     Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
     """
@@ -409,7 +427,8 @@ def update_where(
     those rewrite, staged swap), but matching rows are rewritten with
     ``assignments`` (column → SQL expression) applied instead of
     dropped. Non-matching rows in a hit file are carried through
-    unchanged; untouched files stay byte-identical.
+    unchanged; untouched files stay byte-identical. Same staged-swap
+    scale boundary as :func:`delete_where` (module docstring).
 
     Returns ``{"files_total", "files_rewritten", "rows_updated"}``.
     """
@@ -479,6 +498,8 @@ def merge_upsert_where(
     new part files — untouched files stay byte-identical. This is the
     Delta/Iceberg MERGE INTO file plan without the transaction log;
     the table-catalog variant lives in ``sinks.tables.merge_upsert``.
+    Same staged-swap scale boundary as :func:`delete_where` (module
+    docstring): the remove+rename publish assumes POSIX/HDFS.
 
     Returns ``{"files_total", "files_rewritten", "rows_updated",
     "rows_inserted"}``.

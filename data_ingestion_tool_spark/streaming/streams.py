@@ -362,6 +362,11 @@ def incremental_reach_stream(
     crash never leaves a moment with no state on disk: on recovery
     either the new dir, or the old dir at ``__old``, survives and the
     replayed micro-batch rebuilds from it.
+
+    Scale boundary: the rename-based snapshot swap assumes POSIX/HDFS
+    atomic rename; on an object store the publish step becomes a
+    manifest/metastore commit (see ``sinks.layout``'s module-docstring
+    staged-swap contract — the same boundary, stated once).
     """
     import os
 

@@ -1048,6 +1048,118 @@ def test_compact_ivf_index_bounds_files_and_preserves_probes(
     assert again["lists_compacted"] == 0
 
 
+def test_compact_ivf_index_crash_recovery_lock_and_zero_row_skip(
+    spark, tmp_path
+):
+    """r10 ADVICE (all three compaction items):
+
+    - medium: a retry after a mid-swap crash must RESTORE the displaced
+      list from <root>__compact_old instead of rmtree-ing the only copy;
+    - low: a fragmented list whose part files hold zero rows produces no
+      tmp partition dir — the swap must skip it, not displace the
+      original and then crash on the missing rename source;
+    - low: the single-writer contract is enforced by a lock file (a
+      concurrent compaction fails fast), and the lock file is invisible
+      to index scans (underscore-prefixed = Hadoop-hidden).
+    """
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_index_upsert,
+    )
+    from data_ingestion_tool_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf, idx)
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    for k in (1, 2):
+        ivf_index_upsert(
+            spark,
+            idx,
+            emb.select(
+                (F.col("vec_id") + 10_000_000 * k).alias("vec_id"),
+                "embedding",
+            ),
+        )
+    probe_before = sorted(
+        map(tuple, ann_ivf_topk_indexed(spark, sf, idx).collect())
+    )
+
+    # zero-row fragmented list: two empty part files under a fresh
+    # list_id -> detected as fragmented (2 files > byte target 1) but
+    # the rewrite emits no tmp partition dir for it
+    frag_lists = [
+        d for d in os.listdir(idx)
+        if d.startswith("list_id=")
+        and len([n for n in os.listdir(os.path.join(idx, d))
+                 if n.endswith(".parquet")]) > 1
+    ]
+    assert frag_lists, "no fragmentation to test against"
+    sample_file = next(
+        os.path.join(idx, frag_lists[0], n)
+        for n in os.listdir(os.path.join(idx, frag_lists[0]))
+        if n.endswith(".parquet")
+    )
+    empty_dir = str(tmp_path / "empty_rows")
+    spark.read.parquet(sample_file).limit(0).coalesce(1).write.parquet(
+        empty_dir
+    )
+    empty_part = next(
+        os.path.join(empty_dir, n)
+        for n in os.listdir(empty_dir)
+        if n.endswith(".parquet")
+    )
+    zero_list = os.path.join(idx, "list_id=999983")
+    os.makedirs(zero_list)
+    shutil.copy(empty_part, os.path.join(zero_list, "part-empty-a.parquet"))
+    shutil.copy(empty_part, os.path.join(zero_list, "part-empty-b.parquet"))
+
+    # mid-swap crash: a prior run displaced one fragmented list (first
+    # rename done) and died before the second rename
+    old_root = idx + "__compact_old"
+    os.makedirs(old_root)
+    crashed = frag_lists[0]
+    os.rename(os.path.join(idx, crashed), os.path.join(old_root, crashed))
+
+    # single-writer fence: a held lock fails fast, and the lock file is
+    # ignored by index reads (nothing displaced, no state destroyed)
+    lock = os.path.join(idx, "_compact.lock")
+    with open(lock, "w"):
+        pass
+    with pytest.raises(FileExistsError):
+        compact_ivf_index(spark, idx)
+    assert os.path.isdir(os.path.join(old_root, crashed)), (
+        "failed lock attempt must not touch the recovery copy"
+    )
+    os.unlink(lock)
+
+    stats = compact_ivf_index(spark, idx)
+    # crashed list restored and compacted with the rest; recovery
+    # staging cleared; lock released for the next maintenance run
+    assert not os.path.exists(old_root)
+    assert not os.path.exists(lock)
+    assert os.path.isdir(os.path.join(idx, crashed))
+    # zero-row list skipped: originals intact, not counted as compacted
+    assert sorted(os.listdir(zero_list)) == [
+        "part-empty-a.parquet", "part-empty-b.parquet",
+    ]
+    assert stats["lists_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+
+    probe_after = sorted(
+        map(tuple, ann_ivf_topk_indexed(spark, sf, idx).collect())
+    )
+    assert probe_after == probe_before
+
+
 def test_indexed_probe_refuses_centroidless_index(spark, tmp_path):
     """r09 ADVICE: stored list_id assignments are only valid under the
     persisted quantizer — with `_centroids` gone the probe must demand

@@ -206,9 +206,21 @@ def test_bench_idle_gate_bounded_and_self_describing(monkeypatch):
     g = bench._idle_gate()
     assert g["idle_gate"] is False and g["idle_wait_sec"] == 60.0
 
+    # unreadable loadavg (non-Linux host), healthy GEMM: gate on the
+    # GEMM axis alone instead of permanently failing (r10 ADVICE) —
+    # load1_at_gate null so the record self-describes as single-axis
     monkeypatch.setattr(bench, "_read_load1", lambda: None)
+    monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.02)
+    g = bench._idle_gate()
+    assert g["idle_gate"] is True and g["load1_at_gate"] is None
+    assert g["idle_wait_sec"] == 0.0
+
+    # unreadable loadavg AND degraded GEMM: still waits bounded and
+    # fails the gate (the fallback must not turn the gate into a no-op)
+    monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.33)
     g = bench._idle_gate()
     assert g["idle_gate"] is False and g["load1_at_gate"] is None
+    assert g["idle_wait_sec"] == 60.0
 
     # non-multiple budget: idle_wait_sec reports the actual bounded
     # wait (100), not poll-count x poll (105)
@@ -217,6 +229,101 @@ def test_bench_idle_gate_bounded_and_self_describing(monkeypatch):
     monkeypatch.setattr(bench, "_gate_gemm_sec", lambda: 0.02)
     g = bench._idle_gate()
     assert g["idle_wait_sec"] == 100.0
+
+
+def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
+    """r10 verdict item 1: the in-sweep gate must (a) pass a healthy
+    sweep through on the first attempt, (b) retry a sweep whose END
+    probe reads off-band (contention arriving DURING the sweep — the
+    r10 official-record failure mode the pre-session gate cannot see),
+    keeping the MIN total and stamping sweep_healthy from the kept
+    attempt, (c) stay bounded when every attempt is contended and
+    record sweep_healthy=false machine-readably."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_RETRIES", "2")
+
+    healthy = {"sched_sec": 0.18, "gemm_sec": 0.02}
+    bad = {"sched_sec": 0.55, "gemm_sec": 0.02}
+
+    # (a) healthy window: one attempt, no retry
+    probes = iter([healthy, healthy])
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: next(probes))
+    calls = []
+
+    def sweep_ok():
+        calls.append(1)
+        return {"q": 1.0}, 1.0
+
+    r = bench._sweep_with_retry(None, sweep_ok)
+    assert len(calls) == 1
+    assert r["sweep_healthy"] is True and r["sweep_attempts"] == 1
+    assert r["total"] == 1.0
+    assert r["sched_at_start"] == 0.18 and r["sched_at_end"] == 0.18
+
+    # (b) contention arrives DURING attempt 1 (start healthy, end bad):
+    # retry once, keep the faster healthy attempt
+    seq = iter([healthy, bad,       # attempt 1: start, end
+                healthy, healthy])  # attempt 2: start, end
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: next(seq))
+    totals = iter([9.0, 2.0])
+
+    def sweep_var():
+        t = next(totals)
+        return {"q": t}, t
+
+    r = bench._sweep_with_retry(None, sweep_var)
+    assert r["sweep_attempts"] == 2
+    assert r["total"] == 2.0 and r["timings"] == {"q": 2.0}
+    assert r["sweep_healthy"] is True
+    assert [a["healthy"] for a in r["sweep_attempt_log"]] == [False, True]
+
+    # (c) every window contended: bounded at 1+retries attempts, min
+    # total kept, record self-describes as contended. The start gate's
+    # bounded wait (SPARK_GRAFT_SCHED_MAX_WAIT_SEC) must also not spin.
+    monkeypatch.setenv("SPARK_GRAFT_SCHED_MAX_WAIT_SEC", "30")
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: bad)
+    totals3 = iter([5.0, 4.0, 6.0])
+
+    def sweep_bad():
+        t = next(totals3)
+        return {"q": t}, t
+
+    r = bench._sweep_with_retry(None, sweep_bad)
+    assert r["sweep_attempts"] == 3
+    assert r["total"] == 4.0
+    assert r["sweep_healthy"] is False
+    assert all(a["start_wait_sec"] == 30.0 for a in r["sweep_attempt_log"])
+
+
+def test_bench_probe_healthy_band_edges(monkeypatch):
+    """The scheduler band (0.30) and GEMM threshold (0.12) separate the
+    committed history's healthy windows (sched 0.136-0.245, gemm
+    0.015-0.056) from the contended ones (sched 0.32-0.77, gemm
+    >= 0.17); both must be env-overridable."""
+    import bench
+
+    assert bench._probe_healthy({"sched_sec": 0.245, "gemm_sec": 0.056})
+    assert not bench._probe_healthy({"sched_sec": 0.32, "gemm_sec": 0.02})
+    assert not bench._probe_healthy({"sched_sec": 0.18, "gemm_sec": 0.17})
+    monkeypatch.setenv("SPARK_GRAFT_SCHED_BAND_SEC", "0.10")
+    assert not bench._probe_healthy({"sched_sec": 0.18, "gemm_sec": 0.02})
+
+
+def test_bench_git_tree_stamp():
+    """r10 verdict item 3: every bench record carries the measured git
+    tree + dirty flag so cross-record A/Bs are machine-checkable; on a
+    non-repo directory the stamp nulls out instead of crashing."""
+    import tempfile
+
+    import bench
+
+    stamp = bench._git_tree(REPO)
+    assert stamp["tree"] and len(stamp["tree"]) == 40
+    assert stamp["dirty"] in (True, False)
+    with tempfile.TemporaryDirectory() as d:
+        assert bench._git_tree(d) == {"tree": None, "dirty": None}
 
 
 def test_survey_registry_coverage_line_matches_live_registry():

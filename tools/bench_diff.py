@@ -94,6 +94,19 @@ def main(argv: list[str] | None = None) -> int:
 
     old_doc, new_doc = load_doc(args.old), load_doc(args.new)
     old, new = old_doc["queries"], new_doc["queries"]
+    # Measured-tree stamps (round 11, r10 verdict item 3): records carry
+    # the git sha they measured, so same-code/cross-code comparisons are
+    # machine-checkable. Pre-r11 records print "unstamped".
+    for side, doc in (("old", old_doc), ("new", new_doc)):
+        tree = doc.get("tree")
+        if tree:
+            mark = " (dirty)" if doc.get("dirty") else ""
+            extra = ""
+            if doc.get("sweep_healthy") is False:
+                extra = " [sweep_healthy: false — contended record]"
+            print(f"{side} tree: {tree[:12]}{mark}{extra}")
+        else:
+            print(f"{side} tree: unstamped (pre-r11 record)")
     factor = 1.0
     if args.normalize:
         f = host_factor(old_doc, new_doc)
