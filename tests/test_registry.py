@@ -243,6 +243,8 @@ def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
 
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_RETRIES", "2")
+    # min_of=1 isolates the retry semantics; min-of-k is case (d)
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_MIN_OF", "1")
 
     healthy = {"sched_sec": 0.18, "gemm_sec": 0.02}
     bad = {"sched_sec": 0.55, "gemm_sec": 0.02}
@@ -295,6 +297,46 @@ def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
     assert r["total"] == 4.0
     assert r["sweep_healthy"] is False
     assert all(a["start_wait_sec"] == 30.0 for a in r["sweep_attempt_log"])
+
+    # (d) min-over-k default (MIN_OF=2): even an all-healthy window
+    # runs TWO gated sweeps and keeps the min — the probes are
+    # necessary but not sufficient (the committed specimen class reads
+    # every axis healthy while the sustained sweep runs 1.1-1.4x slow)
+    monkeypatch.delenv("SPARK_GRAFT_SWEEP_MIN_OF", raising=False)
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: healthy)
+    totals4 = iter([7.0, 3.0, 99.0])
+
+    def sweep_two():
+        return {"q": 1.0}, next(totals4)
+
+    r = bench._sweep_with_retry(None, sweep_two)
+    assert r["sweep_attempts"] == 2
+    assert r["total"] == 3.0
+    assert r["sweep_healthy"] is True
+
+    # (e) a contended-but-faster attempt is kept (contention only ever
+    # slows a sweep, so the min is valid) and the record still reads
+    # healthy because another attempt verified a clean window at-or-
+    # above the kept number
+    # attempt 1: the 30 s bounded start gate polls 3x (all bad) and
+    # the end probe reads bad too; attempt 2's window is clean
+    calls = {"n": 0}
+
+    def probe_mixed(spark):
+        calls["n"] += 1
+        return bad if calls["n"] <= 4 else healthy
+
+    monkeypatch.setattr(bench, "_sweep_probe", probe_mixed)
+    totals5 = iter([2.5, 3.5])
+
+    def sweep_mixed():
+        return {"q": 1.0}, next(totals5)
+
+    r = bench._sweep_with_retry(None, sweep_mixed)
+    assert r["sweep_attempts"] == 2
+    assert r["total"] == 2.5
+    assert r["sweep_healthy"] is True
+    assert [a["healthy"] for a in r["sweep_attempt_log"]] == [False, True]
 
 
 def test_bench_probe_healthy_band_edges(monkeypatch):
