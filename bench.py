@@ -292,10 +292,18 @@ def _sweep_with_retry(spark, sweep_fn) -> dict:
     attempt."""
     min_of = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_MIN_OF", "2")))
     retries = int(os.environ.get("SPARK_GRAFT_SWEEP_RETRIES", "1"))
+    # wall budget across ALL attempts (gate waits + sweeps): the
+    # official driver run must finish even if every window is slow —
+    # a second/third attempt only starts while under budget, so the
+    # worst case is one attempt past it, never an unbounded pile-up
+    max_wall = float(os.environ.get("SPARK_GRAFT_SWEEP_MAX_WALL_SEC", "1800"))
+    t_begin = time.perf_counter()
     max_attempts = min_of + retries
     attempt_log: list[dict] = []
     kept: dict | None = None
     for _ in range(max_attempts):
+        if attempt_log and time.perf_counter() - t_begin > max_wall:
+            break
         start_probe, start_wait = _await_sched_band(spark)
         timings, total = sweep_fn()
         end_probe = _sweep_probe(spark)

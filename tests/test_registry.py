@@ -338,6 +338,20 @@ def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
     assert r["sweep_healthy"] is True
     assert [a["healthy"] for a in r["sweep_attempt_log"]] == [False, True]
 
+    # (f) wall budget: when attempt 1 already exceeds
+    # SPARK_GRAFT_SWEEP_MAX_WALL_SEC, no second attempt starts — the
+    # official record must land even on a uniformly slow host
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_MAX_WALL_SEC", "0")
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: healthy)
+
+    def sweep_slow():
+        return {"q": 50.0}, 50.0
+
+    r = bench._sweep_with_retry(None, sweep_slow)
+    assert r["sweep_attempts"] == 1
+    assert r["total"] == 50.0
+    assert r["sweep_healthy"] is True
+
 
 def test_bench_probe_healthy_band_edges(monkeypatch):
     """The scheduler band (0.30) and GEMM threshold (0.12) separate the
