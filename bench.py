@@ -335,12 +335,24 @@ def _sweep_with_retry(spark, sweep_fn) -> dict:
     }
 
 
+#: Files the bench itself rewrites on every run: a tree that is dirty
+#: ONLY in these is measurement-clean (the measured code is exactly
+#: HEAD), so they never count toward ``dirty`` (r11 verdict item 5 —
+#: r11's official record carried ``dirty: true`` purely from its own
+#: artifact appends, forfeiting the stamp's cross-round A/B value).
+_BENCH_ARTIFACTS = {"BENCH_LOCAL.json", "BENCH_LOCAL_HISTORY.jsonl"}
+
+
 def _git_tree(repo_dir: str) -> dict:
     """Stamp the measured tree into the record (r10 verdict item 3):
     same-code/cross-code bench comparisons — like r10's decisive
     r08-tree A/B — must be machine-checkable from the history alone,
     not prose. ``tree`` = HEAD sha, ``dirty`` = uncommitted changes
-    present. Null on any git failure (bench must never die on this)."""
+    present EXCLUDING the bench's own artifact files; when dirty, the
+    offending paths are listed (bounded) in ``dirty_files`` so the
+    record names what code differs from HEAD instead of a bare flag
+    (r11 verdict item 5). Null on any git failure (bench must never
+    die on this)."""
     try:
         head = subprocess.run(
             ["git", "-C", repo_dir, "rev-parse", "HEAD"],
@@ -352,8 +364,21 @@ def _git_tree(repo_dir: str) -> dict:
             ["git", "-C", repo_dir, "status", "--porcelain"],
             capture_output=True, text=True, timeout=10,
         )
-        dirty = bool(status.stdout.strip()) if status.returncode == 0 else None
-        return {"tree": head.stdout.strip(), "dirty": dirty}
+        if status.returncode != 0:
+            return {"tree": head.stdout.strip(), "dirty": None}
+        paths = [
+            line[3:].strip()
+            for line in status.stdout.splitlines()
+            if line.strip()
+        ]
+        real = [
+            p for p in paths
+            if os.path.basename(p.rstrip("/")) not in _BENCH_ARTIFACTS
+        ]
+        out = {"tree": head.stdout.strip(), "dirty": bool(real)}
+        if real:
+            out["dirty_files"] = real[:10]
+        return out
     except Exception:
         return {"tree": None, "dirty": None}
 
@@ -414,6 +439,21 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
+
+    # Dirty-tree gate (r11 verdict item 5): an official record on a
+    # tree that differs from HEAD can't be A/B'd against the stamped
+    # history. The record always carries dirty/dirty_files (stamped at
+    # the end, same call); with SPARK_GRAFT_REQUIRE_CLEAN set the run
+    # refuses up front instead — the local pre-official discipline.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    tree_stamp = _git_tree(repo_dir)
+    if tree_stamp.get("dirty") and os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN"):
+        print(
+            "bench: refusing to record on a dirty tree "
+            f"(SPARK_GRAFT_REQUIRE_CLEAN set): {tree_stamp.get('dirty_files')}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
 
     # Size file-split granularity to the benchmark input so scans use
     # the whole executor pool: the engine default (128 MB, right for a
@@ -523,14 +563,13 @@ def main() -> None:
         "sched_at_end": sweep["sched_at_end"],
         "gemm_at_end": sweep["gemm_at_end"],
         "sweep_attempt_log": sweep["sweep_attempt_log"],
-        **_git_tree(os.path.dirname(os.path.abspath(__file__))),
+        **_git_tree(repo_dir),
     }
     # Full-precision record → stderr + a repo file: the driver's tail
     # capture keeps only the LAST 2000 stdout chars, and the round-4
     # record was lost to a 2.3 KB line (BENCH_r04 "parsed": null).
     full_line = json.dumps(out)
     print(full_line, file=sys.stderr)
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
             fh.write(full_line + "\n")

@@ -51,74 +51,79 @@ _MODULES = [
 #: `embed_documents` JSON vector) are pytest-locked by the
 #: no-decimal/array registry test instead of burning slots.
 #:
-#: ROUND-11 ROTATION (executed; round-10 verdict item 2 — steady-state
+#: ROUND-12 ROTATION (executed; round-11 verdict item 3 — steady-state
 #: cadence, one freshness tier per round): (a) ALL 31 oracle-paired
-#: queries whose last green driver row is r07 (the ten TPC-H shapes,
-#: `winsorized_prices`, the semantic/near-dup leftovers, the
-#: mixing/sampling text tier, the feature-store pair, the DQ/profile
-#: rows), alphabetical; (b) 19 r08-stale fillers, alphabetical (first
-#: 19 of the 50-row r08 tier), so after this round no oracle-paired
-#: query's last driver row is older than r08 (the remaining 31 r08
-#: rows are the natural r12 window). Freshness is computed from the
+#: queries whose last green driver row is r08 (the remaining tier
+#: after r11's 19 fillers), alphabetical; (b) the THREE re-predicated
+#: queries from r11 verdict item 4 — `customers_without_orders` (now
+#: anti-joins URGENT orders), `idle_rich_customers` (now anti-joins
+#: RECENT orders, cutoff 2000-01-01), `tpch_q9_profit_shape` (part
+#: filter now '%gear%') — which were r11-fresh but only ever hashed
+#: EMPTY results; their predicates now sit inside the synthetic
+#: domain, so this round's rows are the first value-discriminating
+#: greens; (c) 16 r09-stale fillers, alphabetical (first 16 of the
+#: 50-row r09 tier), so after this round no oracle-paired query's
+#: last driver row is older than r09 except the 34 remaining r09
+#: rows (the natural r13 window). Freshness is computed from the
 #: CORRECTNESS_r0N.json files on disk (latest round with
-#: rows+schema+hash all green per query); the r10 verdict's
-#: per-query status table lists the identical sets. Oracle-paired
-#: entries only — rows-only entries record as `no_oracle` reds and
-#: never take a slot. (Round-10 window and earlier rotations: git
-#: history.)
+#: rows+schema+hash all green per query). Oracle-paired entries only
+#: — rows-only entries record as `no_oracle` reds and never take a
+#: slot. (Round-11 window and earlier rotations: git history.)
 _FRONT = [
-    # (a) last green r07 — the full stale tier (all 31), alphabetical
-    "idle_rich_customers",
-    "important_part_stock",
-    "join_key_skew_profile",
-    "length_bucketed_batches",
-    "media_metadata_stats",
-    "next_purchase_value",
-    "orders_snapshot_diff",
-    "point_in_time_features",
-    "profile_orders",
-    "rolling_weekly_active_users",
-    "semantic_dedup",
-    "shared_span_pairs",
-    "source_mixing_weights",
-    "source_token_entropy",
-    "temperature_mixed_sample",
-    "top_supplier_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_last_shipper",
-    "tpch_q4_late_order_priority",
-    "tpch_q7_nation_trade_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_shape",
-    "unigram_logprob_scores",
-    "user_activity_similarity",
-    "user_retention_cohorts",
-    "vocab_oov_rate",
-    "winsorized_prices",
-    # (b) r08-stale fillers, alphabetical (first 19 of the 50-row tier)
-    "agg_collect_sets",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_median_percentiles",
-    "agg_quantiles",
-    "agg_rollup",
-    "agg_string_concat",
-    "ann_ivf_exact_rerank",
-    "bigram_logprob_scores",
-    "bm25_search",
-    "calendar_dim",
-    "cooccurrence_pmi",
-    "cumulative_unique_users",
-    "customer_order_stats",
-    "customers_with_urgent_orders",
+    # (a) last green r08 — the full remaining stale tier, alphabetical
+    "doc_rolling_fingerprints",
+    "dq_value_bounds",
+    "embedding_covariance",
+    "embedding_dimension_stats",
+    "event_attribution_last_touch",
+    "exact_top_terms",
+    "exact_user_reach",
+    "frequent_event_sequences",
+    "grouped_price_elasticity",
+    "label_centroid_norms",
+    "linewise_dedup",
+    "market_basket_brand_pairs",
+    "near_dup_graph_degree",
+    "null_safe_compare",
+    "orders_customers_full",
+    "orders_global_sort",
+    "pagerank_supply_graph",
+    "self_join_blowup_estimate",
+    "skyline_orders",
+    "source_vocab_overlap",
+    "stratified_weighted_sample",
+    "time_weighted_avg_value",
+    "token_ngram_novelty",
+    "tpch_q12_priority_shipping",
+    "tpch_q16_part_supplier_variety",
+    "tpch_q20_dominant_part_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "value_histogram",
+    "weighted_doc_sample",
+    "window_rank_extras",
+    # (b) re-predicated this round (r11 verdict item 4) — first rows
+    # whose value hash can actually discriminate
     "customers_without_orders",
-    "dedup_impact_report",
-    "doc_quality_ensemble",
+    "idle_rich_customers",
+    "tpch_q9_profit_shape",
+    # (c) r09-stale fillers, alphabetical (first 16 of the 50-row tier)
+    "agg_statistics",
+    "agg_trimmed_mean_pandas",
+    "ann_bruteforce_topk",
+    "asof_last_event",
+    "decontaminate_ngram_overlap",
+    "dedup_exact_docs",
+    "dedup_first_event",
+    "dedup_minhash_md5",
+    "dedup_ngram_jaccard",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_train_split",
+    "embedding_near_dup",
+    "embedding_near_dup_blocked",
+    "events_gap_fill",
+    "explode_event_props",
 ]
 
 

@@ -454,9 +454,17 @@ def concurrent_sessions(
     (kind 1) and a.s (kind 2), session ends (kind 3), ordered by
     (value, kind) so that equal-value starts sort before the ≤-query
     and equal-value ends after the <-query. Cross-bucket offsets are
-    per-bucket totals prefix-summed two-level (inside superbuckets of
-    ``_RANK_SUPER`` buckets, then across superbucket aggregates —
-    bounded rows per task at any time-axis length). The gap term is a
+    per-bucket totals prefix-summed with an ADAPTIVE fan-in (round
+    12): the bucket count is known on the driver, so while it fits
+    one superbucket (≤ ``_RANK_SUPER`` — true at sf0.1 and at the
+    100× audit) the offsets are ONE bounded single-partition prefix
+    window broadcast back onto the ranked stream; only a time axis
+    that outgrows a superbucket pays the two-level ladder (inside
+    superbuckets, then across superbucket aggregates — bounded rows
+    per task at any axis length). The flat path saves 3 stage
+    barriers on a shape whose many-short-stage profile is what
+    straggler/contention windows amplify (r11 verdict item 1). The
+    gap term is a
     bucket equi-join that only sessions ≥ the 10-minute gap floor can
     enter (an interval shorter than the shortest gap contains none) —
     12 of 98.5k sessions at sf0.1, ~1.2k of 9.9M at the 100× audit.
@@ -541,43 +549,81 @@ def concurrent_sessions(
         F.sum(is_end).over(win).alias("in_ends"),
     ).filter(F.col("kind").isin(1, 2))
     # cross-bucket prefix: per-bucket totals built from the SAME union
-    # (so every query row's bucket exists), prefix-summed two-level
-    bt = (
-        u.groupBy("bucket")
-        .agg(
-            F.sum(is_start).alias("b_starts"), F.sum(is_end).alias("b_ends")
+    # (so every query row's bucket exists). ADAPTIVE FAN-IN (round 12,
+    # r11 verdict item 1 bisect): the bucket count is known on the
+    # driver (span/width from the agg the width derivation already
+    # paid for), so when it fits one superbucket — true at sf0.1
+    # (~5k buckets) AND at the 100× audit (~20k) — the two-level
+    # ladder's extra stages (sb-window shuffle, superbucket agg +
+    # single-row window, join-back) are pure scheduler round-trips:
+    # a single-partition prefix window over ≤ _RANK_SUPER per-bucket
+    # totals is bounded by construction and saves 3 barriers on a
+    # path whose many-short-stage shape is exactly what straggler/
+    # contention windows amplify. The ladder remains the plan the
+    # moment the time axis outgrows one superbucket.
+    n_buckets = int(hi) // w_us - int(lo) // w_us + 1
+    bt = u.groupBy("bucket").agg(
+        F.sum(is_start).alias("b_starts"), F.sum(is_end).alias("b_ends")
+    )
+    if n_buckets <= _RANK_SUPER:
+        w_flat = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
         )
-        .withColumn("sb", F.expr(f"bucket div {_RANK_SUPER}"))
-    )
-    w_in = (
-        Window.partitionBy("sb")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bt = bt.select(
-        "bucket",
-        "sb",
-        F.coalesce(F.sum("b_starts").over(w_in), F.lit(0)).alias("p_in_s"),
-        F.coalesce(F.sum("b_ends").over(w_in), F.lit(0)).alias("p_in_e"),
-        "b_starts",
-        "b_ends",
-    )
-    sup = bt.groupBy("sb").agg(
-        F.sum("b_starts").alias("sb_starts"), F.sum("b_ends").alias("sb_ends")
-    )
-    # superbucket aggregates: buckets/_RANK_SUPER rows — a bounded
-    # single-partition prefix window by construction
-    w_sup = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
-    sup = sup.select(
-        "sb",
-        F.coalesce(F.sum("sb_starts").over(w_sup), F.lit(0)).alias("p_sup_s"),
-        F.coalesce(F.sum("sb_ends").over(w_sup), F.lit(0)).alias("p_sup_e"),
-    )
-    prefix = bt.join(F.broadcast(sup), "sb").select(
-        "bucket",
-        (F.col("p_sup_s") + F.col("p_in_s")).alias("pre_starts"),
-        (F.col("p_sup_e") + F.col("p_in_e")).alias("pre_ends"),
-    )
+        # ≤ _RANK_SUPER rows of three longs: broadcast the join back
+        # onto the ranked stream instead of reshuffling it
+        prefix = F.broadcast(
+            bt.select(
+                "bucket",
+                F.coalesce(F.sum("b_starts").over(w_flat), F.lit(0)).alias(
+                    "pre_starts"
+                ),
+                F.coalesce(F.sum("b_ends").over(w_flat), F.lit(0)).alias(
+                    "pre_ends"
+                ),
+            )
+        )
+    else:
+        bt = bt.withColumn("sb", F.expr(f"bucket div {_RANK_SUPER}"))
+        w_in = (
+            Window.partitionBy("sb")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bt = bt.select(
+            "bucket",
+            "sb",
+            F.coalesce(F.sum("b_starts").over(w_in), F.lit(0)).alias(
+                "p_in_s"
+            ),
+            F.coalesce(F.sum("b_ends").over(w_in), F.lit(0)).alias(
+                "p_in_e"
+            ),
+            "b_starts",
+            "b_ends",
+        )
+        sup = bt.groupBy("sb").agg(
+            F.sum("b_starts").alias("sb_starts"),
+            F.sum("b_ends").alias("sb_ends"),
+        )
+        # superbucket aggregates: buckets/_RANK_SUPER rows — a bounded
+        # single-partition prefix window by construction
+        w_sup = Window.orderBy("sb").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        sup = sup.select(
+            "sb",
+            F.coalesce(F.sum("sb_starts").over(w_sup), F.lit(0)).alias(
+                "p_sup_s"
+            ),
+            F.coalesce(F.sum("sb_ends").over(w_sup), F.lit(0)).alias(
+                "p_sup_e"
+            ),
+        )
+        prefix = bt.join(F.broadcast(sup), "sb").select(
+            "bucket",
+            (F.col("p_sup_s") + F.col("p_in_s")).alias("pre_starts"),
+            (F.col("p_sup_e") + F.col("p_in_e")).alias("pre_ends"),
+        )
     s_term = (
         ranked.join(prefix, "bucket")
         .groupBy(

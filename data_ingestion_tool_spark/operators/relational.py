@@ -332,9 +332,16 @@ GROUP BY c_custkey, c_name
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANTI join (NOT EXISTS)."""
+    """ANTI join (NOT EXISTS) — customers with no URGENT order. The
+    unfiltered variant ("no orders at all") is empty at every SF of
+    the synthetic data (every customer orders), so its driver greens
+    only ever hashed an empty frame (r11 verdict item 4); the URGENT
+    slice keeps the identical anti-join shape and returns 18/203/1986
+    rows at sf0.001/0.01/0.1, so the value hash discriminates."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
@@ -343,7 +350,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 
@@ -2307,12 +2316,18 @@ WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
 
 
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with NO orders
-    — an uncorrelated scalar subquery (the average enters as a
-    broadcast 1-row aggregate) composed with an anti-join.
+    """TPC-H Q22 shape: above-average-balance customers with no
+    RECENT orders (none on/after 2000-01-01 — "idle") — an
+    uncorrelated scalar subquery (the average enters as a broadcast
+    1-row aggregate) composed with an anti-join. The cutoff sits
+    inside the synthetic order-date domain (1995-2001) so the result
+    is non-empty at every SF (5/55/646 rows at sf0.001/0.01/0.1); the
+    original "no orders at all" was empty everywhere, so its driver
+    greens never hashed a value (r11 verdict item 4).
 
     Scale shape: the anti-join is a shuffle on custkey (or broadcast
-    of the order keys if small); the average never touches the driver.
+    of the order keys if small); the recent-order date filter pushes
+    to the orders scan; the average never touches the driver.
     Grouped by market segment to keep the output an aggregate."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", F.col("c_mktsegment").alias("segment")
@@ -2325,7 +2340,11 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_bal")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -2346,7 +2365,9 @@ FROM customer c
 WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                           / CAST(COUNT(*) AS DOUBLE)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
 GROUP BY 1
 """
 

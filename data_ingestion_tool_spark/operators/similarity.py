@@ -771,6 +771,70 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
     return np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
 
 
+def _lock_holder_alive(lock_path: str):
+    """Probe the holder PID stamped into a ``_compact.lock``.
+
+    Returns True (live holder), False (holder dead — the lock is
+    stale), or None (no readable PID: a pre-PID-era lock or an
+    unreadable file — never treated as stale, because breaking a lock
+    we cannot attribute could unfence a LIVE compaction)."""
+    import os
+
+    try:
+        with open(lock_path) as fh:
+            pid = int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _acquire_compact_lock(lock_path: str) -> int:
+    """O_EXCL-acquire the compaction lock, stamping the holder PID
+    into it, with stale-lock self-healing (r11 ADVICE, medium): a
+    kill -9/OOM mid-swap skips the ``finally`` unlink, so without
+    this every retry would die on a bare ``FileExistsError`` before
+    the crash-recovery pass could run. When the stamped holder is
+    dead, break the lock via atomic rename-aside — concurrent retries
+    racing the break elect exactly one winner (``os.rename`` of the
+    same source succeeds for one caller); losers loop back to the
+    O_EXCL open and fail against the winner's fresh lock. A lock with
+    no readable PID raises with the path and manual step named."""
+    import os
+
+    for _ in range(3):
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            alive = _lock_holder_alive(lock_path)
+            if alive is False:
+                stale = lock_path + ".stale"
+                try:
+                    os.rename(lock_path, stale)
+                    os.unlink(stale)
+                except OSError:
+                    pass  # another retry won the break; re-contend
+                continue
+            holder = "a live compaction holds it" if alive else (
+                "no holder PID readable — if no compaction is "
+                f"running, remove {lock_path} manually"
+            )
+            raise RuntimeError(
+                f"compaction fence busy: {lock_path} exists ({holder})"
+            ) from None
+        os.write(fd, str(os.getpid()).encode())
+        return fd
+    raise RuntimeError(
+        f"compaction fence busy: could not acquire {lock_path} after "
+        "3 attempts (persistent contention on the stale-lock break)"
+    )
+
+
 def ivf_index_upsert(
     spark: SparkSession, index_path: str, new_emb: DataFrame
 ) -> None:
@@ -805,6 +869,32 @@ def ivf_index_upsert(
     if new_emb.schema["embedding"].dataType != idx_type:
         new_emb = new_emb.withColumn(
             "embedding", F.col("embedding").cast(idx_type)
+        )
+    # Honor the compaction fence (r11 ADVICE): an upsert that appends
+    # while a compaction is mid-swap can land part files in a list
+    # directory the swap is about to rename away — silently discarded.
+    # Fail fast while ``_compact.lock`` exists, live OR stale: a stale
+    # lock means a compaction crashed mid-swap and lists may sit
+    # displaced under ``<root>__compact_old`` — appending into a
+    # missing list dir would recreate it and block the recovery
+    # rename. ``compact_ivf_index`` recovers both states. This check
+    # is best-effort (a compaction starting one instant later still
+    # races); the hard guarantee remains the caller-quiescence
+    # contract in :func:`compact_ivf_index`'s docstring.
+    import os
+
+    lock_path = os.path.join(index_path.rstrip("/"), "_compact.lock")
+    if os.path.exists(lock_path):
+        alive = _lock_holder_alive(lock_path)
+        state = (
+            "held by a live compaction"
+            if alive
+            else "stale (holder dead — a compaction crashed mid-swap)"
+        )
+        raise RuntimeError(
+            f"refusing to upsert into {index_path}: {lock_path} is "
+            f"{state}; run compact_ivf_index to complete/recover the "
+            "swap (it breaks stale locks itself), then retry"
         )
     lists = _ivf_assign(spark, new_emb, centroids, keep_embedding=True)
     lists.repartition(F.col("list_id")).write.mode("append").partitionBy(
@@ -852,8 +942,11 @@ def compact_ivf_index(
     the swap can append into a directory mid-rename; a probe racing it
     can see a list briefly absent and silently return missing
     neighbors rather than erroring. Writers are fenced by a lock file
-    under the index root (``_compact.lock``, O_EXCL — a second
-    compaction or a lock-honoring upsert fails fast); probe callers
+    under the index root (``_compact.lock``, O_EXCL, holder PID
+    stamped inside): a second compaction and any ``ivf_index_upsert``
+    / ``vector_index_stream`` batch fail fast while it exists. The
+    upsert-side check is best-effort (an upsert that passed the check
+    one instant before the lock appears still races); probe callers
     must be quiesced by the caller's scheduler (probes take no lock —
     they are the hot path).
 
@@ -862,6 +955,14 @@ def compact_ivf_index(
     RESTORES every displaced list whose ``list_id=`` dir is missing
     under the root, then removes the leftovers — so retrying after a
     crash is always safe and never destroys the only copy of a list.
+    A crash also leaks ``_compact.lock`` (the unlink lives in a
+    ``finally`` that kill -9/OOM skips): the retry reads the PID
+    stamped in the lock and, when that holder is dead, BREAKS the
+    stale lock itself (atomic rename-aside, so concurrent retries
+    elect one winner) before re-acquiring — no manual ``rm`` step. A
+    lock with no readable PID is never auto-broken (it may belong to
+    a live pre-PID holder); the error it raises names the path and
+    the manual recovery step.
 
     **Scale boundary (object stores):** the staged swap assumes
     POSIX-atomic same-volume directory rename (local disk, HDFS). On
@@ -879,7 +980,7 @@ def compact_ivf_index(
     old_root = root + "__compact_old"
     lock_path = os.path.join(root, "_compact.lock")
     # single-writer fence: see the exclusive-access contract above
-    lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    lock_fd = _acquire_compact_lock(lock_path)
     try:
         return _compact_ivf_locked(
             spark, root, old_root, target_bytes=target_bytes

@@ -542,8 +542,12 @@ def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: part/supplier/nation broadcast; orders⋈lineitem is
     the one real shuffle (orderkey); the profit expression is exact
     decimal so the oracle hash matches."""
+    # '%gear%' sits inside the synthetic part-name vocabulary (~13% of
+    # parts) — the original '%3%' matched nothing, so every driver row
+    # validated an empty result (r11 verdict item 4: greens that never
+    # hash a non-empty result prove schema, not semantics)
     p = _t(spark, sf_dir, "part").filter(
-        F.col("p_name").contains("3")
+        F.col("p_name").contains("gear")
     ).select("p_partkey", "p_retailprice")
     s_ = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -575,7 +579,7 @@ SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
                   * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
          AS sum_profit
 FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%3%'
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey

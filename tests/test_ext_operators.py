@@ -1129,17 +1129,43 @@ def test_compact_ivf_index_crash_recovery_lock_and_zero_row_skip(
     crashed = frag_lists[0]
     os.rename(os.path.join(idx, crashed), os.path.join(old_root, crashed))
 
-    # single-writer fence: a held lock fails fast, and the lock file is
-    # ignored by index reads (nothing displaced, no state destroyed)
+    # single-writer fence, three lock states (r11 ADVICE):
+    # (a) PID-less lock (pre-PID era / unreadable): never auto-broken,
+    #     fails with an actionable RuntimeError naming the path
     lock = os.path.join(idx, "_compact.lock")
     with open(lock, "w"):
         pass
-    with pytest.raises(FileExistsError):
+    with pytest.raises(RuntimeError, match="_compact.lock"):
         compact_ivf_index(spark, idx)
     assert os.path.isdir(os.path.join(old_root, crashed)), (
         "failed lock attempt must not touch the recovery copy"
     )
+    assert os.path.exists(lock), "PID-less lock must never be auto-broken"
     os.unlink(lock)
+    # (b) live-holder lock: compaction fails fast AND the upsert fence
+    #     is real — ivf_index_upsert refuses instead of appending into
+    #     a mid-swap index
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="live"):
+        compact_ivf_index(spark, idx)
+    with pytest.raises(RuntimeError, match="refusing to upsert"):
+        ivf_index_upsert(
+            spark,
+            idx,
+            emb.select(
+                (F.col("vec_id") + 90_000_000).alias("vec_id"), "embedding"
+            ),
+        )
+    os.unlink(lock)
+    # (c) stale lock (holder PID dead — the kill -9 mid-swap leak):
+    #     the retry breaks it itself and proceeds; no manual rm
+    import subprocess
+
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(lock, "w") as fh:
+        fh.write(str(dead.pid))
 
     stats = compact_ivf_index(spark, idx)
     # crashed list restored and compacted with the rest; recovery

@@ -285,11 +285,28 @@ QUERY_PROTOCOL: dict[str, dict[str, int]] = {
 }
 
 
-def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
+def time_queries(
+    spark,
+    reg,
+    names,
+    sf_dir: str,
+    runs: int = 2,
+    probe_log: dict | None = None,
+):
+    """Time each query (min of ``runs`` noop-write shots). When
+    ``probe_log`` is a dict, stamp the shared bench health probes
+    (min-of-3 trivial-job scheduler axis + one-shot pinned GEMM —
+    the exact axes/bands the official bench gates on) BEFORE and
+    AFTER each query's shots into it, keyed ``name@sf_dir`` — so a
+    100x audit row adjudicates itself the way bench rows do (r11
+    verdict item 6) instead of needing a separate window argument."""
+    if probe_log is not None:
+        from bench import _probe_healthy, _sweep_probe
     out = {}
     for name in names:
         proto = QUERY_PROTOCOL.get(name, {})
         n_runs = proto.get("runs", runs)
+        pre = _sweep_probe(spark) if probe_log is not None else None
         for _ in range(proto.get("warmup", 0)):
             reg[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -308,7 +325,25 @@ def time_queries(spark, reg, names, sf_dir: str, runs: int = 2):
             if proto
             else ""
         )
-        print(f"  timed {name} @ {sf_dir}: {best:.3f}s{seq}", flush=True)
+        probe_note = ""
+        if probe_log is not None:
+            post = _sweep_probe(spark)
+            entry = {
+                "sched_pre": pre["sched_sec"],
+                "gemm_pre": pre["gemm_sec"],
+                "sched_post": post["sched_sec"],
+                "gemm_post": post["gemm_sec"],
+                "healthy": _probe_healthy(pre) and _probe_healthy(post),
+            }
+            probe_log[f"{name}@{sf_dir}"] = entry
+            probe_note = (
+                f" probes sched {entry['sched_pre']:.3f}/"
+                f"{entry['sched_post']:.3f} gemm {entry['gemm_pre']:.3f}/"
+                f"{entry['gemm_post']:.3f}"
+                f" healthy={entry['healthy']}"
+            )
+        print(f"  timed {name} @ {sf_dir}: {best:.3f}s{seq}{probe_note}",
+              flush=True)
         # several operators persist intermediates as part of their
         # plan (a cost the timing above counts); drop them so block
         # storage doesn't accumulate across the 2·|names| timings and
@@ -553,8 +588,9 @@ def main() -> int:
     # warmup both dirs
     reg[names[0]].builder(spark, base).limit(1).collect()
     reg[names[0]].builder(spark, out).limit(1).collect()
-    base_t = time_queries(spark, reg, names, base)
-    scaled_t = time_queries(spark, reg, names, out)
+    probe_log: dict = {}
+    base_t = time_queries(spark, reg, names, base, probe_log=probe_log)
+    scaled_t = time_queries(spark, reg, names, out, probe_log=probe_log)
 
     rows = []
     for n in names:
@@ -582,6 +618,10 @@ def main() -> int:
                 "worst": [
                     {"query": n, "ratio": round(r, 2)} for n, _, _, r in rows[:5]
                 ],
+                "probes_all_healthy": all(
+                    e["healthy"] for e in probe_log.values()
+                ),
+                "probes": probe_log,
             }
         )
     )
