@@ -231,6 +231,44 @@ def _sweep_probe(spark) -> dict[str, float]:
     }
 
 
+def _sustained_probe_sec(spark) -> float:
+    """Sustained full-width throughput axis (r11 verdict item 2 /
+    What's wrong #1): the short probes are necessary but NOT
+    sufficient — the r11 official record read every short axis
+    in-band (sched 0.17/0.11, GEMM 0.034) while the 32-thread sweep
+    ran ~1.5× a verified-healthy same-day reading. The missing axis
+    is sustained multi-core work: the hypervisor throttle class that
+    produced it only engages under full-width load, which a min-of-3
+    trivial job and a one-shot GEMM never apply. This probe IS a
+    miniature sweep — a pinned ~2 s whole-stage-codegen fold
+    (xxhash64 over a fixed range) spread across the full local[N]
+    pool. ONE shot, deliberately: min-of-k would keep the best
+    instant and hide exactly the sustained degradation this axis
+    exists to expose."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rows = int(os.environ.get("SPARK_GRAFT_SUSTAINED_ROWS", "12000000000"))
+    # bit_xor, not sum: the engine session runs ANSI mode, where a
+    # SUM of ~1.5e9 full-range hashes overflows long and kills the
+    # probe; the xor fold is overflow-free with the same CPU profile
+    return _timed(
+        lambda: spark.range(0, rows, 1, cpus)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+        .collect()
+    )
+
+
+def _sustained_band_sec() -> float:
+    """Healthy band for the sustained axis. Calibration (round 12, on
+    this tree): 12e9 rows reads a steady 2.03-2.05 s once the GEMM
+    axis confirms recovery (0.04 s), 2.29 s in a mildly-degraded
+    instant (GEMM 0.18), and would read >= 2.6-2.9 s under the
+    1.3-1.4x sustained-throttle class the r11 record fell in (the
+    class every short probe misses). 2.6 = 1.3x the healthy floor —
+    the same margin logic as the sched band; env-overridable as the
+    host drifts."""
+    return float(os.environ.get("SPARK_GRAFT_SUSTAINED_BAND_SEC", "2.6"))
+
+
 def _probe_healthy(probe: dict[str, float]) -> bool:
     """Healthy-band check for a :func:`_sweep_probe` reading.
 
@@ -305,15 +343,25 @@ def _sweep_with_retry(spark, sweep_fn) -> dict:
         if attempt_log and time.perf_counter() - t_begin > max_wall:
             break
         start_probe, start_wait = _await_sched_band(spark)
+        sustained_start = _sustained_probe_sec(spark)
         timings, total = sweep_fn()
         end_probe = _sweep_probe(spark)
-        healthy = _probe_healthy(start_probe) and _probe_healthy(end_probe)
+        sustained_end = _sustained_probe_sec(spark)
+        band = _sustained_band_sec()
+        sustained_ok = sustained_start <= band and sustained_end <= band
+        healthy = (
+            _probe_healthy(start_probe)
+            and _probe_healthy(end_probe)
+            and sustained_ok
+        )
         attempt = {
             "total_sec": round(total, 4),
             "sched_at_start": start_probe["sched_sec"],
             "gemm_at_start": start_probe["gemm_sec"],
             "sched_at_end": end_probe["sched_sec"],
             "gemm_at_end": end_probe["gemm_sec"],
+            "sustained_at_start": round(sustained_start, 3),
+            "sustained_at_end": round(sustained_end, 3),
             "start_wait_sec": round(start_wait, 1),
             "healthy": healthy,
         }
@@ -331,6 +379,9 @@ def _sweep_with_retry(spark, sweep_fn) -> dict:
         "sched_at_start": kept["attempt"]["sched_at_start"],
         "sched_at_end": kept["attempt"]["sched_at_end"],
         "gemm_at_end": kept["attempt"]["gemm_at_end"],
+        "sustained_at_start": kept["attempt"]["sustained_at_start"],
+        "sustained_at_end": kept["attempt"]["sustained_at_end"],
+        "sustained_band_sec": _sustained_band_sec(),
         "sweep_attempt_log": attempt_log,
     }
 
@@ -562,6 +613,9 @@ def main() -> None:
         "sched_at_start": sweep["sched_at_start"],
         "sched_at_end": sweep["sched_at_end"],
         "gemm_at_end": sweep["gemm_at_end"],
+        "sustained_at_start": sweep["sustained_at_start"],
+        "sustained_at_end": sweep["sustained_at_end"],
+        "sustained_band_sec": sweep["sustained_band_sec"],
         "sweep_attempt_log": sweep["sweep_attempt_log"],
         **_git_tree(repo_dir),
     }

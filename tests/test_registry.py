@@ -245,6 +245,9 @@ def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_RETRIES", "2")
     # min_of=1 isolates the retry semantics; min-of-k is case (d)
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_MIN_OF", "1")
+    # the sustained axis (r11 verdict item 2) defaults healthy here;
+    # case (g) exercises it failing while every short axis is green
+    monkeypatch.setattr(bench, "_sustained_probe_sec", lambda spark: 2.0)
 
     healthy = {"sched_sec": 0.18, "gemm_sec": 0.02}
     bad = {"sched_sec": 0.55, "gemm_sec": 0.02}
@@ -352,6 +355,29 @@ def test_bench_sweep_retry_gates_and_keeps_min(monkeypatch):
     assert r["total"] == 50.0
     assert r["sweep_healthy"] is True
 
+    # (g) the r11-specimen class: EVERY short axis in-band while the
+    # sustained axis reads throttled — the exact record that carried
+    # sweep_healthy: true at 1.5x a healthy same-day reading must now
+    # stamp false, with the readings in the attempt log
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_MAX_WALL_SEC", "1800")
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_MIN_OF", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_RETRIES", "0")
+    monkeypatch.setattr(bench, "_sweep_probe", lambda spark: healthy)
+    monkeypatch.setattr(bench, "_sustained_probe_sec", lambda spark: 4.5)
+
+    def sweep_throttled():
+        return {"q": 90.0}, 90.0
+
+    r = bench._sweep_with_retry(None, sweep_throttled)
+    assert r["sweep_healthy"] is False
+    assert r["sustained_at_start"] == 4.5
+    assert r["sustained_at_end"] == 4.5
+    assert r["sustained_band_sec"] == bench._sustained_band_sec()
+    # and the band is env-overridable like the other axes
+    monkeypatch.setenv("SPARK_GRAFT_SUSTAINED_BAND_SEC", "5.0")
+    r = bench._sweep_with_retry(None, sweep_throttled)
+    assert r["sweep_healthy"] is True
+
 
 def test_bench_probe_healthy_band_edges(monkeypatch):
     """The scheduler band (0.30) and GEMM threshold (0.12) separate the
@@ -380,6 +406,30 @@ def test_bench_git_tree_stamp():
     assert stamp["dirty"] in (True, False)
     with tempfile.TemporaryDirectory() as d:
         assert bench._git_tree(d) == {"tree": None, "dirty": None}
+
+    # r11 verdict item 5: the bench's own artifact appends must not
+    # count as dirty (r11's official record carried dirty: true purely
+    # from them); real source drift must, with the paths named
+    import subprocess
+
+    with tempfile.TemporaryDirectory() as d:
+        subprocess.run(["git", "-C", d, "init", "-q"], check=True)
+        subprocess.run(
+            ["git", "-C", d, "-c", "user.email=t@t", "-c", "user.name=t",
+             "commit", "-q", "--allow-empty", "-m", "init"],
+            check=True,
+        )
+        with open(os.path.join(d, "BENCH_LOCAL.json"), "w") as fh:
+            fh.write("{}\n")
+        with open(os.path.join(d, "BENCH_LOCAL_HISTORY.jsonl"), "a") as fh:
+            fh.write("{}\n")
+        stamp = bench._git_tree(d)
+        assert stamp["dirty"] is False and "dirty_files" not in stamp
+        with open(os.path.join(d, "some_source.py"), "w") as fh:
+            fh.write("x = 1\n")
+        stamp = bench._git_tree(d)
+        assert stamp["dirty"] is True
+        assert stamp["dirty_files"] == ["some_source.py"]
 
 
 def test_survey_registry_coverage_line_matches_live_registry():
