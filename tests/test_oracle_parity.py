@@ -150,6 +150,8 @@ _TZ_SENSITIVE = [
         "event_attribution_last_touch",
         "concurrent_sessions",
         "seasonal_value_anomalies",
+        # round-12: gained a date predicate (2000-01-01 recency cutoff)
+        "idle_rich_customers",
     )
     if REG[n].oracle is not None
 ]
