@@ -391,10 +391,17 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # same self-adjudication as time_queries (r11 verdict item 6):
+    # bracket each scale's timed block with the shared bench health
+    # probes so an index-audit row names its own window
+    from bench import _probe_healthy, _sweep_probe
+
     report: dict[str, object] = {"mode": "ivf_index", "factor": factor}
+    probe_log: dict[str, dict] = {}
     rows = []
     for label, sf_dir in (("1x", base), (f"{factor}x", out)):
         idx = os.path.join(sf_dir, "_ivf_index_audit")
+        pre = _sweep_probe(spark)
         build_sec = timed(lambda: build_ivf_index(spark, sf_dir, idx))
         probe_sec = min(
             timed(lambda: noop(ann_ivf_topk_indexed(spark, sf_dir, idx)))
@@ -409,13 +416,25 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
             timed(lambda: noop(ann_ivf_topk(spark, sf_dir)))
             for _ in range(2)
         )
+        post = _sweep_probe(spark)
+        probe_log[label] = {
+            "sched_pre": pre["sched_sec"],
+            "gemm_pre": pre["gemm_sec"],
+            "sched_post": post["sched_sec"],
+            "gemm_post": post["gemm_sec"],
+            "healthy": _probe_healthy(pre) and _probe_healthy(post),
+        }
         rows.append((label, build_sec, probe_sec, adhoc_sec, pruned))
         print(
             f"  {label}: build {build_sec:.2f}s, probe {probe_sec:.2f}s "
             f"(min of 3), ad-hoc {adhoc_sec:.2f}s, "
-            f"partition-pruned={pruned}",
+            f"partition-pruned={pruned}, "
+            f"health probes sched {pre['sched_sec']:.3f}/"
+            f"{post['sched_sec']:.3f} gemm {pre['gemm_sec']:.3f}/"
+            f"{post['gemm_sec']:.3f} healthy={probe_log[label]['healthy']}",
             flush=True,
         )
+    report["probes"] = probe_log
 
     print(f"\n{'scale':8s} {'build':>8s} {'probe':>8s} {'ad-hoc':>8s} {'pruned':>7s}")
     for label, b, p, a, pr in rows:
@@ -451,6 +470,13 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         )
 
     frag_files = max_files_per_list()
+    # stamp the fragmented-vs-compacted probe pair the same way as the
+    # scale loop: the two readings are taken minutes apart, and the
+    # r12 night run showed the window swinging enough in that gap to
+    # INVERT them (compacted 16.2 s vs fragmented 6.6 s, upserts 28x
+    # their healthy cost) — without the stamps that reads as a code
+    # regression instead of a window artifact
+    h_frag = _sweep_probe(spark)
     frag_probe = min(
         timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
         for _ in range(3)
@@ -458,6 +484,7 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
     t0 = time.perf_counter()
     stats = compact_ivf_index(spark, idx)
     compact_sec = time.perf_counter() - t0
+    h_comp = _sweep_probe(spark)
     comp_probe = min(
         timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
         for _ in range(3)
@@ -479,6 +506,8 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         "lists_compacted": stats["lists_compacted"],
         "max_files_per_list_compacted": max_files_per_list(),
         "probe_compacted_sec": round(comp_probe, 2),
+        "health_at_fragmented": h_frag,
+        "health_at_compacted": h_comp,
     }
     report.update(
         {
