@@ -417,15 +417,19 @@ def _git_tree(repo_dir: str) -> dict:
         )
         if status.returncode != 0:
             return {"tree": head.stdout.strip(), "dirty": None}
-        paths = [
-            line[3:].strip()
-            for line in status.stdout.splitlines()
-            if line.strip()
-        ]
-        real = [
-            p for p in paths
-            if os.path.basename(p.rstrip("/")) not in _BENCH_ARTIFACTS
-        ]
+        paths = []
+        for line in status.stdout.splitlines():
+            if not line.strip():
+                continue
+            p = line[3:].strip()
+            # porcelain renames read "R  old -> new": the NEW path is
+            # what differs from HEAD
+            if " -> " in p:
+                p = p.split(" -> ", 1)[1]
+            paths.append(p)
+        # exact repo-root paths only: a subdirectory file that merely
+        # shares an artifact's basename is real drift
+        real = [p for p in paths if p not in _BENCH_ARTIFACTS]
         out = {"tree": head.stdout.strip(), "dirty": bool(real)}
         if real:
             out["dirty_files"] = real[:10]
@@ -498,10 +502,21 @@ def main() -> None:
     # refuses up front instead — the local pre-official discipline.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     tree_stamp = _git_tree(repo_dir)
-    if tree_stamp.get("dirty") and os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN"):
+    # refuse unless VERIFIABLY clean: dirty None (git missing/timed
+    # out) must not slip through the gate whose whole purpose is
+    # A/B-able records — unverifiable is as bad as dirty here
+    if (
+        os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN")
+        and tree_stamp.get("dirty") is not False
+    ):
+        reason = (
+            tree_stamp.get("dirty_files")
+            if tree_stamp.get("dirty")
+            else "tree state unverifiable (git failed)"
+        )
         print(
-            "bench: refusing to record on a dirty tree "
-            f"(SPARK_GRAFT_REQUIRE_CLEAN set): {tree_stamp.get('dirty_files')}",
+            "bench: refusing to record on a non-verified-clean tree "
+            f"(SPARK_GRAFT_REQUIRE_CLEAN set): {reason}",
             file=sys.stderr,
         )
         raise SystemExit(2)

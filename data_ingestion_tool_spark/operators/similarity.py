@@ -772,18 +772,46 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
 
 
 def _lock_holder_alive(lock_path: str):
-    """Probe the holder PID stamped into a ``_compact.lock``.
+    """Probe the holder stamped into a ``_compact.lock``
+    (``pid\\nhostname``).
 
-    Returns True (live holder), False (holder dead — the lock is
-    stale), or None (no readable PID: a pre-PID-era lock or an
-    unreadable file — never treated as stale, because breaking a lock
-    we cannot attribute could unfence a LIVE compaction)."""
+    Returns True (live holder), False (holder verifiably dead — the
+    lock is stale), or None (holder unattributable: no readable PID,
+    a pre-PID-era lock, or a DIFFERENT hostname — never treated as
+    stale, because a local PID probe says nothing about a process on
+    another host sharing the index mount, and breaking a lock we
+    cannot attribute could unfence a LIVE compaction). An unreadable/
+    empty read is retried briefly before returning None: a concurrent
+    acquirer writes the PID immediately after its O_EXCL create, so a
+    momentarily-empty lock is usually a lock being born, not a
+    pre-PID relic.
+
+    **Liveness-scope boundary:** PID liveness is LOCAL. Deployments
+    where compactions for one index can run from more than one host
+    (index root on NFS or similar shared mounts) get fail-fast
+    behavior from the hostname check, never auto-break; a production
+    multi-host port replaces this file-lock with a lease (heartbeat
+    mtime) or metastore lock — the same boundary as the rename-swap
+    contract. PID-reuse is the inverse caveat: a recycled PID makes a
+    stale lock read live; the error path names the manual
+    ``rm <lock>`` recovery for that case."""
     import os
+    import socket
+    import time as _time
 
-    try:
-        with open(lock_path) as fh:
-            pid = int(fh.read().strip())
-    except (OSError, ValueError):
+    pid = host = None
+    for attempt in range(3):
+        try:
+            with open(lock_path) as fh:
+                parts = fh.read().split()
+            pid = int(parts[0])
+            host = parts[1] if len(parts) > 1 else None
+            break
+        except (OSError, ValueError, IndexError):
+            if attempt == 2:
+                return None
+            _time.sleep(0.05)
+    if host is not None and host != socket.gethostname():
         return None
     try:
         os.kill(pid, 0)
@@ -803,9 +831,13 @@ def _acquire_compact_lock(lock_path: str) -> int:
     dead, break the lock via atomic rename-aside — concurrent retries
     racing the break elect exactly one winner (``os.rename`` of the
     same source succeeds for one caller); losers loop back to the
-    O_EXCL open and fail against the winner's fresh lock. A lock with
-    no readable PID raises with the path and manual step named."""
+    O_EXCL open and fail against the winner's fresh lock. A lock
+    whose holder cannot be attributed (no readable PID, or a
+    different hostname — see :func:`_lock_holder_alive`'s
+    liveness-scope boundary) is never auto-broken and raises with the
+    path and the manual step named."""
     import os
+    import socket
 
     for _ in range(3):
         try:
@@ -820,14 +852,24 @@ def _acquire_compact_lock(lock_path: str) -> int:
                 except OSError:
                     pass  # another retry won the break; re-contend
                 continue
-            holder = "a live compaction holds it" if alive else (
-                "no holder PID readable — if no compaction is "
-                f"running, remove {lock_path} manually"
+            holder = (
+                "a live local compaction holds it (if you are CERTAIN "
+                "none is running — PID reuse after a crash — remove "
+                f"{lock_path} manually)"
+                if alive
+                else (
+                    "holder unattributable: no readable PID or a "
+                    "different host — if no compaction is running "
+                    f"anywhere against this index, remove {lock_path} "
+                    "manually"
+                )
             )
             raise RuntimeError(
                 f"compaction fence busy: {lock_path} exists ({holder})"
             ) from None
-        os.write(fd, str(os.getpid()).encode())
+        os.write(
+            fd, f"{os.getpid()}\n{socket.gethostname()}".encode()
+        )
         return fd
     raise RuntimeError(
         f"compaction fence busy: could not acquire {lock_path} after "
@@ -886,15 +928,28 @@ def ivf_index_upsert(
     lock_path = os.path.join(index_path.rstrip("/"), "_compact.lock")
     if os.path.exists(lock_path):
         alive = _lock_holder_alive(lock_path)
-        state = (
-            "held by a live compaction"
-            if alive
-            else "stale (holder dead — a compaction crashed mid-swap)"
-        )
+        if alive is True:
+            state, action = (
+                "held by a live compaction",
+                "wait for it to finish, then retry",
+            )
+        elif alive is False:
+            state, action = (
+                "stale (holder dead — a compaction crashed mid-swap)",
+                "run compact_ivf_index to complete/recover the swap "
+                "(it breaks verifiably-stale locks itself), then retry",
+            )
+        else:
+            state, action = (
+                "unattributable (no readable PID, or held from a "
+                "different host)",
+                "if no compaction is running anywhere against this "
+                f"index, remove {lock_path} manually, run "
+                "compact_ivf_index to recover, then retry",
+            )
         raise RuntimeError(
             f"refusing to upsert into {index_path}: {lock_path} is "
-            f"{state}; run compact_ivf_index to complete/recover the "
-            "swap (it breaks stale locks itself), then retry"
+            f"{state}; {action}"
         )
     lists = _ivf_assign(spark, new_emb, centroids, keep_embedding=True)
     lists.repartition(F.col("list_id")).write.mode("append").partitionBy(

@@ -1158,14 +1158,35 @@ def test_compact_ivf_index_crash_recovery_lock_and_zero_row_skip(
             ),
         )
     os.unlink(lock)
+    # (b2) foreign-host lock: PID liveness is LOCAL, so a lock stamped
+    #      by another hostname is unattributable here — never
+    #      auto-broken even with a locally-dead PID (shared-mount
+    #      deployments get fail-fast, not a second concurrent swap)
+    with open(lock, "w") as fh:
+        fh.write("999999\nsome-other-host")
+    with pytest.raises(RuntimeError, match="unattributable|different host"):
+        compact_ivf_index(spark, idx)
+    assert os.path.exists(lock), "foreign-host lock must never be broken"
+    os.unlink(lock)
     # (c) stale lock (holder PID dead — the kill -9 mid-swap leak):
-    #     the retry breaks it itself and proceeds; no manual rm
+    #     the retry breaks it itself and proceeds; no manual rm.
+    #     Re-spawn if the reaped PID got recycled to a live process
+    #     before the lock was probed (rare PID-wraparound flake).
     import subprocess
 
-    dead = subprocess.Popen(["true"])
-    dead.wait()
-    with open(lock, "w") as fh:
-        fh.write(str(dead.pid))
+    from data_ingestion_tool_spark.operators.similarity import (
+        _lock_holder_alive,
+    )
+
+    for _ in range(5):
+        dead = subprocess.Popen(["true"])
+        dead.wait()
+        with open(lock, "w") as fh:
+            fh.write(str(dead.pid))
+        if _lock_holder_alive(lock) is False:
+            break
+    else:
+        pytest.fail("could not obtain a verifiably-dead PID")
 
     stats = compact_ivf_index(spark, idx)
     # crashed list restored and compacted with the rest; recovery

@@ -430,6 +430,29 @@ def test_bench_git_tree_stamp():
         stamp = bench._git_tree(d)
         assert stamp["dirty"] is True
         assert stamp["dirty_files"] == ["some_source.py"]
+        # a subdirectory file sharing an artifact basename is real
+        # drift (exclusion is exact repo-root paths), and a staged
+        # rename reports the NEW path, not a composite string
+        os.makedirs(os.path.join(d, "sub"))
+        with open(os.path.join(d, "sub", "BENCH_LOCAL.json"), "w") as fh:
+            fh.write("{}\n")
+        subprocess.run(["git", "-C", d, "add", "-A"], check=True)
+        subprocess.run(
+            ["git", "-C", d, "-c", "user.email=t@t", "-c", "user.name=t",
+             "commit", "-q", "-m", "add"],
+            check=True,
+        )
+        subprocess.run(
+            ["git", "-C", d, "mv", "some_source.py", "renamed_source.py"],
+            check=True,
+        )
+        with open(os.path.join(d, "sub", "BENCH_LOCAL.json"), "a") as fh:
+            fh.write("{}\n")
+        stamp = bench._git_tree(d)
+        assert stamp["dirty"] is True
+        assert sorted(stamp["dirty_files"]) == [
+            "renamed_source.py", "sub/BENCH_LOCAL.json",
+        ]
 
 
 def test_survey_registry_coverage_line_matches_live_registry():

@@ -285,6 +285,21 @@ QUERY_PROTOCOL: dict[str, dict[str, int]] = {
 }
 
 
+def _probe_entry(pre: dict, post: dict) -> dict:
+    """One audit probe record: the shared bench axes bracketing a
+    timed block, plus the band verdict — the single shape every
+    audit mode stamps (r11 verdict item 6)."""
+    from bench import _probe_healthy
+
+    return {
+        "sched_pre": pre["sched_sec"],
+        "gemm_pre": pre["gemm_sec"],
+        "sched_post": post["sched_sec"],
+        "gemm_post": post["gemm_sec"],
+        "healthy": _probe_healthy(pre) and _probe_healthy(post),
+    }
+
+
 def time_queries(
     spark,
     reg,
@@ -299,14 +314,20 @@ def time_queries(
     the exact axes/bands the official bench gates on) BEFORE and
     AFTER each query's shots into it, keyed ``name@sf_dir`` — so a
     100x audit row adjudicates itself the way bench rows do (r11
-    verdict item 6) instead of needing a separate window argument."""
+    verdict item 6) instead of needing a separate window argument.
+    Consecutive queries share a reading (query N's post is N+1's
+    pre — they are separated only by a cache drop), halving the
+    probe overhead across a sweep."""
     if probe_log is not None:
-        from bench import _probe_healthy, _sweep_probe
+        from bench import _sweep_probe
     out = {}
+    prev_post = None
     for name in names:
         proto = QUERY_PROTOCOL.get(name, {})
         n_runs = proto.get("runs", runs)
-        pre = _sweep_probe(spark) if probe_log is not None else None
+        pre = None
+        if probe_log is not None:
+            pre = prev_post if prev_post is not None else _sweep_probe(spark)
         for _ in range(proto.get("warmup", 0)):
             reg[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -328,13 +349,8 @@ def time_queries(
         probe_note = ""
         if probe_log is not None:
             post = _sweep_probe(spark)
-            entry = {
-                "sched_pre": pre["sched_sec"],
-                "gemm_pre": pre["gemm_sec"],
-                "sched_post": post["sched_sec"],
-                "gemm_post": post["gemm_sec"],
-                "healthy": _probe_healthy(pre) and _probe_healthy(post),
-            }
+            prev_post = post
+            entry = _probe_entry(pre, post)
             probe_log[f"{name}@{sf_dir}"] = entry
             probe_note = (
                 f" probes sched {entry['sched_pre']:.3f}/"
@@ -394,7 +410,7 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
     # same self-adjudication as time_queries (r11 verdict item 6):
     # bracket each scale's timed block with the shared bench health
     # probes so an index-audit row names its own window
-    from bench import _probe_healthy, _sweep_probe
+    from bench import _sweep_probe
 
     report: dict[str, object] = {"mode": "ivf_index", "factor": factor}
     probe_log: dict[str, dict] = {}
@@ -417,13 +433,7 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
             for _ in range(2)
         )
         post = _sweep_probe(spark)
-        probe_log[label] = {
-            "sched_pre": pre["sched_sec"],
-            "gemm_pre": pre["gemm_sec"],
-            "sched_post": post["sched_sec"],
-            "gemm_post": post["gemm_sec"],
-            "healthy": _probe_healthy(pre) and _probe_healthy(post),
-        }
+        probe_log[label] = _probe_entry(pre, post)
         rows.append((label, build_sec, probe_sec, adhoc_sec, pruned))
         print(
             f"  {label}: build {build_sec:.2f}s, probe {probe_sec:.2f}s "
@@ -489,6 +499,9 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
         for _ in range(3)
     )
+    h_end = _sweep_probe(spark)
+    probe_log["fragmented_probe"] = _probe_entry(h_frag, h_comp)
+    probe_log["compacted_probe"] = _probe_entry(h_comp, h_end)
     print(
         f"  fragmentation: {n_upserts} micro-upserts ({upsert_sec:.1f}s) "
         f"-> max {frag_files} files/list, probe {frag_probe:.2f}s; "
@@ -506,8 +519,6 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         "lists_compacted": stats["lists_compacted"],
         "max_files_per_list_compacted": max_files_per_list(),
         "probe_compacted_sec": round(comp_probe, 2),
-        "health_at_fragmented": h_frag,
-        "health_at_compacted": h_comp,
     }
     report.update(
         {
