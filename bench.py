@@ -232,24 +232,17 @@ def _sweep_probe(spark) -> dict[str, float]:
 
 
 def _sustained_probe_sec(spark) -> float:
-    """Sustained full-width throughput axis (r11 verdict item 2 /
-    What's wrong #1): the short probes are necessary but NOT
-    sufficient — the r11 official record read every short axis
-    in-band (sched 0.17/0.11, GEMM 0.034) while the 32-thread sweep
-    ran ~1.5× a verified-healthy same-day reading. The missing axis
-    is sustained multi-core work: the hypervisor throttle class that
-    produced it only engages under full-width load, which a min-of-3
-    trivial job and a one-shot GEMM never apply. This probe IS a
-    miniature sweep — a pinned ~2 s whole-stage-codegen fold
-    (xxhash64 over a fixed range) spread across the full local[N]
-    pool. ONE shot, deliberately: min-of-k would keep the best
-    instant and hide exactly the sustained degradation this axis
-    exists to expose."""
+    """Sustained full-width axis (r11 verdict item 2): the r11 record
+    read every short probe in-band while the 32-thread sweep ran
+    ~1.5× slow — the throttle class only engages under sustained
+    full-width load, which no short probe applies. This IS a
+    miniature sweep: a pinned ~2 s codegen fold across the full
+    local[N] pool, ONE shot (a min-of-k would keep the best instant
+    and hide exactly the degradation the axis exists to expose)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rows = int(os.environ.get("SPARK_GRAFT_SUSTAINED_ROWS", "12000000000"))
-    # bit_xor, not sum: the engine session runs ANSI mode, where a
-    # SUM of ~1.5e9 full-range hashes overflows long and kills the
-    # probe; the xor fold is overflow-free with the same CPU profile
+    # bit_xor, not sum: ANSI mode overflows a long SUM of full-range
+    # hashes; the xor fold is overflow-free, same CPU profile
     return _timed(
         lambda: spark.range(0, rows, 1, cpus)
         .selectExpr("bit_xor(xxhash64(id)) AS h")
@@ -258,14 +251,10 @@ def _sustained_probe_sec(spark) -> float:
 
 
 def _sustained_band_sec() -> float:
-    """Healthy band for the sustained axis. Calibration (round 12, on
-    this tree): 12e9 rows reads a steady 2.03-2.05 s once the GEMM
-    axis confirms recovery (0.04 s), 2.29 s in a mildly-degraded
-    instant (GEMM 0.18), and would read >= 2.6-2.9 s under the
-    1.3-1.4x sustained-throttle class the r11 record fell in (the
-    class every short probe misses). 2.6 = 1.3x the healthy floor —
-    the same margin logic as the sched band; env-overridable as the
-    host drifts."""
+    """Healthy band for the sustained axis: r12 calibration reads a
+    steady 2.03-2.05 s (GEMM-verified window), 2.29 s mildly
+    degraded; 2.6 = 1.3x the floor (the sched band's margin logic),
+    env-overridable as the host drifts."""
     return float(os.environ.get("SPARK_GRAFT_SUSTAINED_BAND_SEC", "2.6"))
 
 
@@ -386,11 +375,10 @@ def _sweep_with_retry(spark, sweep_fn) -> dict:
     }
 
 
-#: Files the bench itself rewrites on every run: a tree that is dirty
-#: ONLY in these is measurement-clean (the measured code is exactly
-#: HEAD), so they never count toward ``dirty`` (r11 verdict item 5 —
-#: r11's official record carried ``dirty: true`` purely from its own
-#: artifact appends, forfeiting the stamp's cross-round A/B value).
+#: Files the bench itself rewrites each run: dirty ONLY in these is
+#: measurement-clean (the measured code is exactly HEAD), so they
+#: never count toward ``dirty`` — r11's official record read dirty
+#: purely from its own appends (r11 verdict item 5).
 _BENCH_ARTIFACTS = {"BENCH_LOCAL.json", "BENCH_LOCAL_HISTORY.jsonl"}
 
 
@@ -502,9 +490,8 @@ def main() -> None:
     # refuses up front instead — the local pre-official discipline.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     tree_stamp = _git_tree(repo_dir)
-    # refuse unless VERIFIABLY clean: dirty None (git missing/timed
-    # out) must not slip through the gate whose whole purpose is
-    # A/B-able records — unverifiable is as bad as dirty here
+    # refuse unless VERIFIABLY clean: dirty None (git failed) must
+    # not slip through a gate whose purpose is A/B-able records
     if (
         os.environ.get("SPARK_GRAFT_REQUIRE_CLEAN")
         and tree_stamp.get("dirty") is not False

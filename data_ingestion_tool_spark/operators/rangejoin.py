@@ -455,15 +455,13 @@ def concurrent_sessions(
     (value, kind) so that equal-value starts sort before the ≤-query
     and equal-value ends after the <-query. Cross-bucket offsets are
     per-bucket totals prefix-summed with an ADAPTIVE fan-in (round
-    12): the bucket count is known on the driver, so while it fits
-    one superbucket (≤ ``_RANK_SUPER`` — true at sf0.1 and at the
-    100× audit) the offsets are ONE bounded single-partition prefix
-    window broadcast back onto the ranked stream; only a time axis
-    that outgrows a superbucket pays the two-level ladder (inside
-    superbuckets, then across superbucket aggregates — bounded rows
-    per task at any axis length). The flat path saves 3 stage
-    barriers on a shape whose many-short-stage profile is what
-    straggler/contention windows amplify (r11 verdict item 1). The
+    12): while the driver-known bucket count fits one superbucket
+    (≤ ``_RANK_SUPER`` — true at sf0.1 and the 100× audit) the
+    offsets are ONE bounded single-partition prefix window broadcast
+    back onto the ranked stream — 3 fewer stage barriers on the
+    many-short-stage shape stragglers/contention amplify (r11 verdict
+    item 1); a time axis that outgrows a superbucket pays the
+    two-level ladder (bounded rows per task at any length). The
     gap term is a
     bucket equi-join that only sessions ≥ the 10-minute gap floor can
     enter (an interval shorter than the shortest gap contains none) —
@@ -549,18 +547,14 @@ def concurrent_sessions(
         F.sum(is_end).over(win).alias("in_ends"),
     ).filter(F.col("kind").isin(1, 2))
     # cross-bucket prefix: per-bucket totals built from the SAME union
-    # (so every query row's bucket exists). ADAPTIVE FAN-IN (round 12,
-    # r11 verdict item 1 bisect): the bucket count is known on the
-    # driver (span/width from the agg the width derivation already
-    # paid for), so when it fits one superbucket — true at sf0.1
-    # (~5k buckets) AND at the 100× audit (~20k) — the two-level
-    # ladder's extra stages (sb-window shuffle, superbucket agg +
-    # single-row window, join-back) are pure scheduler round-trips:
-    # a single-partition prefix window over ≤ _RANK_SUPER per-bucket
-    # totals is bounded by construction and saves 3 barriers on a
-    # path whose many-short-stage shape is exactly what straggler/
-    # contention windows amplify. The ladder remains the plan the
-    # moment the time axis outgrows one superbucket.
+    # (so every query row's bucket exists). ADAPTIVE FAN-IN (round
+    # 12): the bucket count is known on the driver, so while it fits
+    # one superbucket — true at sf0.1 (~5k) and the 100× audit (~20k)
+    # — the two-level ladder's extra stages are pure scheduler
+    # round-trips: a single-partition prefix window over ≤ _RANK_SUPER
+    # totals is bounded by construction and saves 3 barriers on the
+    # many-short-stage path stragglers/contention amplify; the ladder
+    # remains the plan once the axis outgrows one superbucket.
     n_buckets = int(hi) // w_us - int(lo) // w_us + 1
     bt = u.groupBy("bucket").agg(
         F.sum(is_start).alias("b_starts"), F.sum(is_end).alias("b_ends")

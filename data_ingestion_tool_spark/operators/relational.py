@@ -332,12 +332,11 @@ GROUP BY c_custkey, c_name
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANTI join (NOT EXISTS) — customers with no URGENT order. The
-    unfiltered variant ("no orders at all") is empty at every SF of
-    the synthetic data (every customer orders), so its driver greens
-    only ever hashed an empty frame (r11 verdict item 4); the URGENT
-    slice keeps the identical anti-join shape and returns 18/203/1986
-    rows at sf0.001/0.01/0.1, so the value hash discriminates."""
+    """ANTI join (NOT EXISTS) — customers with no URGENT order: the
+    unfiltered variant is empty at every SF (every synthetic customer
+    orders), so its greens only ever hashed an empty frame (r11
+    verdict item 4); the URGENT slice keeps the identical shape and
+    returns 18/203/1986 rows at sf0.001/0.01/0.1."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
@@ -2320,15 +2319,14 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECENT orders (none on/after 2000-01-01 — "idle") — an
     uncorrelated scalar subquery (the average enters as a broadcast
     1-row aggregate) composed with an anti-join. The cutoff sits
-    inside the synthetic order-date domain (1995-2001) so the result
-    is non-empty at every SF (5/55/646 rows at sf0.001/0.01/0.1); the
-    original "no orders at all" was empty everywhere, so its driver
-    greens never hashed a value (r11 verdict item 4).
+    inside the synthetic date domain (1995-2001), so the result is
+    non-empty at every SF (5/55/646 rows at sf0.001/0.01/0.1) and the
+    hash discriminates; the original "no orders at all" was empty
+    everywhere (r11 verdict item 4).
 
-    Scale shape: the anti-join is a shuffle on custkey (or broadcast
-    of the order keys if small); the recent-order date filter pushes
-    to the orders scan; the average never touches the driver.
-    Grouped by market segment to keep the output an aggregate."""
+    Scale shape: anti-join shuffles on custkey (or broadcasts small
+    order keys); the date filter pushes to the orders scan; the
+    average never touches the driver; grouped by market segment."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", F.col("c_mktsegment").alias("segment")
     )

@@ -773,28 +773,20 @@ def load_ivf_centroids(spark: SparkSession, index_path: str):
 
 def _lock_holder_alive(lock_path: str):
     """Probe the holder stamped into a ``_compact.lock``
-    (``pid\\nhostname``).
+    (``pid\\nhostname``): True = live, False = verifiably dead (lock
+    is stale), None = unattributable (no readable PID, or a DIFFERENT
+    hostname) — never treated as stale, since breaking a lock we
+    cannot attribute could unfence a LIVE compaction. An empty read
+    retries briefly: a concurrent acquirer writes the PID right after
+    its O_EXCL create, so a momentarily-empty lock is one being born.
 
-    Returns True (live holder), False (holder verifiably dead — the
-    lock is stale), or None (holder unattributable: no readable PID,
-    a pre-PID-era lock, or a DIFFERENT hostname — never treated as
-    stale, because a local PID probe says nothing about a process on
-    another host sharing the index mount, and breaking a lock we
-    cannot attribute could unfence a LIVE compaction). An unreadable/
-    empty read is retried briefly before returning None: a concurrent
-    acquirer writes the PID immediately after its O_EXCL create, so a
-    momentarily-empty lock is usually a lock being born, not a
-    pre-PID relic.
-
-    **Liveness-scope boundary:** PID liveness is LOCAL. Deployments
-    where compactions for one index can run from more than one host
-    (index root on NFS or similar shared mounts) get fail-fast
-    behavior from the hostname check, never auto-break; a production
-    multi-host port replaces this file-lock with a lease (heartbeat
-    mtime) or metastore lock — the same boundary as the rename-swap
-    contract. PID-reuse is the inverse caveat: a recycled PID makes a
-    stale lock read live; the error path names the manual
-    ``rm <lock>`` recovery for that case."""
+    **Liveness-scope boundary:** PID liveness is LOCAL. Multi-host
+    deployments (index on NFS/shared mounts) get fail-fast from the
+    hostname check, never auto-break; a production port replaces the
+    file-lock with a lease (heartbeat mtime) or metastore lock — the
+    same boundary as the rename-swap contract. PID reuse is the
+    inverse caveat: a recycled PID makes a stale lock read live; the
+    error path names the manual ``rm <lock>`` recovery."""
     import os
     import socket
     import time as _time
@@ -823,19 +815,15 @@ def _lock_holder_alive(lock_path: str):
 
 
 def _acquire_compact_lock(lock_path: str) -> int:
-    """O_EXCL-acquire the compaction lock, stamping the holder PID
-    into it, with stale-lock self-healing (r11 ADVICE, medium): a
-    kill -9/OOM mid-swap skips the ``finally`` unlink, so without
-    this every retry would die on a bare ``FileExistsError`` before
-    the crash-recovery pass could run. When the stamped holder is
-    dead, break the lock via atomic rename-aside — concurrent retries
-    racing the break elect exactly one winner (``os.rename`` of the
-    same source succeeds for one caller); losers loop back to the
-    O_EXCL open and fail against the winner's fresh lock. A lock
-    whose holder cannot be attributed (no readable PID, or a
-    different hostname — see :func:`_lock_holder_alive`'s
-    liveness-scope boundary) is never auto-broken and raises with the
-    path and the manual step named."""
+    """O_EXCL-acquire the compaction lock (holder pid+host stamped
+    in) with stale-lock self-healing (r11 ADVICE): kill -9/OOM
+    mid-swap skips the ``finally`` unlink, so without this every
+    retry would die on a bare ``FileExistsError`` before crash
+    recovery could run. A verifiably-dead holder's lock is broken via
+    atomic rename-aside (racing retries elect one winner; losers
+    re-contend the O_EXCL open). An unattributable holder (no PID, or
+    a different hostname — see :func:`_lock_holder_alive`) is never
+    auto-broken; the error names the path and the manual step."""
     import os
     import socket
 
@@ -912,40 +900,33 @@ def ivf_index_upsert(
         new_emb = new_emb.withColumn(
             "embedding", F.col("embedding").cast(idx_type)
         )
-    # Honor the compaction fence (r11 ADVICE): an upsert that appends
-    # while a compaction is mid-swap can land part files in a list
-    # directory the swap is about to rename away — silently discarded.
-    # Fail fast while ``_compact.lock`` exists, live OR stale: a stale
-    # lock means a compaction crashed mid-swap and lists may sit
-    # displaced under ``<root>__compact_old`` — appending into a
-    # missing list dir would recreate it and block the recovery
-    # rename. ``compact_ivf_index`` recovers both states. This check
-    # is best-effort (a compaction starting one instant later still
-    # races); the hard guarantee remains the caller-quiescence
-    # contract in :func:`compact_ivf_index`'s docstring.
+    # Honor the compaction fence (r11 ADVICE): appending mid-swap can
+    # land part files in a dir the swap renames away (silently
+    # discarded), and after a crash a displaced list's dir would be
+    # recreated, blocking the recovery rename — so fail fast while
+    # ``_compact.lock`` exists, live OR stale. Best-effort (a
+    # compaction starting an instant later still races); the hard
+    # guarantee remains compact_ivf_index's caller-quiescence contract.
     import os
 
     lock_path = os.path.join(index_path.rstrip("/"), "_compact.lock")
     if os.path.exists(lock_path):
         alive = _lock_holder_alive(lock_path)
         if alive is True:
-            state, action = (
-                "held by a live compaction",
-                "wait for it to finish, then retry",
-            )
+            state = "held by a live compaction"
+            action = "wait for it to finish, then retry"
         elif alive is False:
-            state, action = (
-                "stale (holder dead — a compaction crashed mid-swap)",
+            state = "stale (holder dead — a compaction crashed mid-swap)"
+            action = (
                 "run compact_ivf_index to complete/recover the swap "
-                "(it breaks verifiably-stale locks itself), then retry",
+                "(it breaks verifiably-stale locks itself), then retry"
             )
         else:
-            state, action = (
-                "unattributable (no readable PID, or held from a "
-                "different host)",
-                "if no compaction is running anywhere against this "
-                f"index, remove {lock_path} manually, run "
-                "compact_ivf_index to recover, then retry",
+            state = "unattributable (no readable PID, or another host)"
+            action = (
+                "if no compaction runs anywhere against this index, "
+                f"remove {lock_path} manually, run compact_ivf_index "
+                "to recover, then retry"
             )
         raise RuntimeError(
             f"refusing to upsert into {index_path}: {lock_path} is "

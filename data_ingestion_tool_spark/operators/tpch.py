@@ -542,10 +542,9 @@ def tpch_q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: part/supplier/nation broadcast; orders⋈lineitem is
     the one real shuffle (orderkey); the profit expression is exact
     decimal so the oracle hash matches."""
-    # '%gear%' sits inside the synthetic part-name vocabulary (~13% of
-    # parts) — the original '%3%' matched nothing, so every driver row
-    # validated an empty result (r11 verdict item 4: greens that never
-    # hash a non-empty result prove schema, not semantics)
+    # '%gear%' matches ~13% of synthetic part names; the original
+    # '%3%' matched none, so driver greens only ever hashed an empty
+    # result (r11 verdict item 4)
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_name").contains("gear")
     ).select("p_partkey", "p_retailprice")

@@ -310,14 +310,10 @@ def time_queries(
 ):
     """Time each query (min of ``runs`` noop-write shots). When
     ``probe_log`` is a dict, stamp the shared bench health probes
-    (min-of-3 trivial-job scheduler axis + one-shot pinned GEMM —
-    the exact axes/bands the official bench gates on) BEFORE and
-    AFTER each query's shots into it, keyed ``name@sf_dir`` — so a
-    100x audit row adjudicates itself the way bench rows do (r11
-    verdict item 6) instead of needing a separate window argument.
-    Consecutive queries share a reading (query N's post is N+1's
-    pre — they are separated only by a cache drop), halving the
-    probe overhead across a sweep."""
+    before and after each query's shots, keyed ``name@sf_dir`` — a
+    100x audit row then adjudicates itself the way bench rows do (r11
+    verdict item 6). Consecutive queries share a reading (N's post is
+    N+1's pre; only a cache drop separates them)."""
     if probe_log is not None:
         from bench import _sweep_probe
     out = {}
@@ -480,12 +476,10 @@ def ivf_index_audit(spark, base: str, out: str, factor: int) -> int:
         )
 
     frag_files = max_files_per_list()
-    # stamp the fragmented-vs-compacted probe pair the same way as the
-    # scale loop: the two readings are taken minutes apart, and the
-    # r12 night run showed the window swinging enough in that gap to
-    # INVERT them (compacted 16.2 s vs fragmented 6.6 s, upserts 28x
-    # their healthy cost) — without the stamps that reads as a code
-    # regression instead of a window artifact
+    # stamp the fragmented-vs-compacted pair too: the readings sit
+    # minutes apart, and the r12 night run's window swung enough in
+    # that gap to INVERT them (16.2 vs 6.6 s) — unstamped, that reads
+    # as a code regression instead of a window artifact
     h_frag = _sweep_probe(spark)
     frag_probe = min(
         timed(lambda: noop(ann_ivf_topk_indexed(spark, out, idx)))
