@@ -44,8 +44,21 @@ _PR_ITERS = 5
 _PR_D_NUM, _PR_D_DEN = 85, 100
 
 
-def _supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Symmetric (edges, out-degree) of the customer↔supplier graph."""
+def _supply_graph(
+    spark: SparkSession, sf_dir: str, *, persist_pairs: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Symmetric (edges, out-degree, pairs) of the customer↔supplier
+    graph.
+
+    ``persist_pairs=True`` caches the distinct pair table before it
+    fans out (round 12): ``pairs`` feeds FOUR subtrees — both union
+    directions of ``edges``, which itself feeds both ``deg`` and the
+    caller's ``edges_deg`` — so uncached, the fact join + distinct ran
+    up to 4× during graph setup (partial exchange reuse hid only some
+    of it; the r12 lab measured setup alone at 4.6 s vs 6.7 s for the
+    full 5-iteration query once pairs was cached). The pairs handle is
+    returned so the caller owns the unpersist.
+    """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -56,32 +69,47 @@ def _supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         )
         .distinct()
     )
+    if persist_pairs:
+        pairs = pairs.persist()
     edges = pairs.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    return edges, deg
+    return edges, deg, pairs
 
 
 def _pr_iteration(
-    edges_deg: DataFrame, deg: DataFrame, ranks: DataFrame, teleport: int
+    edges_deg: DataFrame, ranks: DataFrame, teleport: int
 ) -> DataFrame:
     """One lazy PageRank step (pre-checkpoint) — factored out so the
     per-iteration plan shape is plan-assertable in tests: one hash
-    join on src, one dst hash-agg (partial+final), one left join back
-    onto the node set, zero Python stages, zero cartesians."""
-    sums = (
+    join on src, one dst hash-agg (partial+final), zero Python
+    stages, zero cartesians.
+
+    No join back onto the node set (round 12): the graph is symmetric
+    BY CONSTRUCTION (``edges`` is the union of both directions of
+    ``pairs``), so every node appears as a ``dst`` — set(dst) =
+    set(src) = all nodes — and, by induction from ranks₀ = deg's node
+    set, the src-join drops no edge and the dst-aggregate emits every
+    node each step. The former per-iteration LEFT JOIN onto ``deg``
+    existed only to re-attach zero-in-degree nodes, which a symmetric
+    graph cannot have; removing it removes one join + one exchange
+    from every iteration (r12 lab: 121 → 103 stages across the
+    5-iteration query, identical output). A directed-graph variant
+    would need the left join back — the proof is structural, so the
+    guard is the unionAll above, not a data property.
+    """
+    return (
         edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
         .select("dst", F.expr("r div deg").alias("c"))
         .groupBy("dst")
         .agg(F.sum("c").alias("s"))
-    )
-    return deg.join(sums, deg.src == sums.dst, "left").select(
-        F.col("src").alias("node"),
-        (
-            F.lit(teleport)
-            + F.expr(f"({_PR_D_NUM} * coalesce(s, 0L)) div {_PR_D_DEN}")
-        ).alias("r"),
+        .select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(teleport) + F.expr(f"({_PR_D_NUM} * s) div {_PR_D_DEN}")
+            ).alias("r"),
+        )
     )
 
 
@@ -95,14 +123,14 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Update rule (all BIGINT):
     ``r'(v) = (15·SCALE) div (100·n) + (85 · Σ_{u→v} r(u) div deg(u)) div 100``.
     """
-    edges, deg = _supply_graph(spark, sf_dir)
-    # BOTH per-iteration inputs are cached: edges_deg feeds the src
-    # join, deg feeds the node-set left join — uncached, the deg
-    # subtree (fact join + distinct + agg) would recompute once per
-    # iteration at evaluation time. deg.count() (needed for the
-    # teleport constant anyway) materializes deg's cache up front;
-    # edges_deg materializes on iteration 1 of the final eager
-    # evaluation.
+    edges, deg, pairs = _supply_graph(spark, sf_dir, persist_pairs=True)
+    # pairs (inside _supply_graph) and both setup products are cached:
+    # deg feeds the node count, the initial ranks, and the edges_deg
+    # build; edges_deg feeds the per-iteration src join. deg.count()
+    # (needed for the teleport constant anyway) materializes deg's
+    # cache up front; edges_deg materializes on iteration 1 of the
+    # final eager evaluation. Iterations themselves touch ONLY
+    # edges_deg since the round-12 left-join removal (_pr_iteration).
     deg = deg.persist()
     # repartition BY THE JOIN KEY before caching: the in-memory scan
     # then reports hash-partitioning on src, so each iteration's
@@ -122,13 +150,14 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             # iteration 1 and the other 4 read the cached blocks. The
             # returned DataFrame then reads its own checkpointed
             # blocks, independent of the (unpersisted) edge cache.
-            ranks = _pr_iteration(edges_deg, deg, ranks, teleport).localCheckpoint(
+            ranks = _pr_iteration(edges_deg, ranks, teleport).localCheckpoint(
                 eager=(it == _PR_ITERS - 1)
             )
         return ranks
     finally:
         edges_deg.unpersist()
         deg.unpersist()
+        pairs.unpersist()
 
 
 def _pagerank_sql() -> str:

@@ -688,21 +688,22 @@ def test_pagerank_iteration_is_bounded_shuffle_jvm_only(spark):
         _supply_graph,
     )
 
-    edges, deg = _supply_graph(spark, SF_CORRECT)
+    edges, deg, _pairs = _supply_graph(spark, SF_CORRECT)
     # model the operator's cached inputs (both are persisted there):
     # checkpointing makes the iteration's OWN work visible instead of
     # the graph-construction subtrees
     deg = deg.localCheckpoint(eager=True)
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
-    step = _pr_iteration(edges_deg, deg, ranks, 42)
+    step = _pr_iteration(edges_deg, ranks, 42)
     rep = plan_report(step)
     assert rep.map_in_pandas == 0 and rep.grouped_pandas == 0
     assert rep.nested_loop_joins == 0
-    # src-join (both sides keyed), dst hash-agg, node left-join —
-    # four key-partitioned shuffles of rank/degree-sized rows, never
-    # a pair enumeration or a Python stage
-    assert rep.exchanges <= 4, rep
+    # src-join (both sides keyed) + dst hash-agg — at most three
+    # key-partitioned shuffles of rank/degree-sized rows, never a
+    # pair enumeration, a Python stage, or (since the round-12
+    # symmetric-graph fix) a per-iteration node-set join back
+    assert rep.exchanges <= 3, rep
 
 
 def test_bigram_lm_scores_via_broadcast_model_no_fact_smj(spark):
