@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.base import QuerySpec
-from data_ingestion_tool_spark.sources.tables import load_table
+from data_ingestion_tool_spark.sources.tables import fan_out, load_table
 
 JACCARD_THRESHOLD = 0.6
 MINHASH_K = 32
@@ -231,7 +231,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches; verification joins broadcast per-doc arrays, touching no
     posting shuffle at all.
     """
-    docs = _docs(spark, sf_dir)
+    # fan_out: the shingle explode + xxhash64 per gram is heavy
+    # per-row work below the first exchange; on the unsplittable
+    # single-row-group bench input it otherwise runs one-core
+    # (alternated min-of-3 A/B: 0.74×, identical pairs; no-op on
+    # splittable at-scale inputs)
+    docs = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     sets = shingle_sets(docs)
     posting = hashed_postings_from_docs(docs).persist()
     from pyspark.sql import Window
@@ -756,7 +761,14 @@ def dedup_simhash(
     downstream clustering recovers in full. Recall vs the exact
     Jaccard operator is pytest-bounded.
     """
-    d = _docs(spark, sf_dir).select("doc_id", simhash_column().alias("sim"))
+    # fan_out before the Arrow signature kernel: the pandas_udf is the
+    # plan's heavy per-row stage and the unsplittable single-row-group
+    # bench input otherwise pins it to one core (alternated min-of-3
+    # A/B: 0.27–0.39× across two windows, identical pairs; no-op on
+    # splittable at-scale inputs)
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", simhash_column().alias("sim")
+    )
     bands = [
         F.shiftrightunsigned(F.col("sim"), 8 * b)
         .bitwiseAND(F.lit(255))
@@ -863,7 +875,14 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the two-path hot-bucket bound for saturated corpora; the
     anchor keeps the complete join because the oracle must replay it.
     """
-    d = _docs(spark, sf_dir).select("doc_id", simhash_column().alias("sim"))
+    # fan_out before the Arrow signature kernel: the pandas_udf is the
+    # plan's heavy per-row stage and the unsplittable single-row-group
+    # bench input otherwise pins it to one core (alternated min-of-3
+    # A/B: 0.27–0.39× across two windows, identical pairs; no-op on
+    # splittable at-scale inputs)
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text")).select(
+        "doc_id", simhash_column().alias("sim")
+    )
     bands = [
         F.shiftrightunsigned(F.col("sim"), 8 * b)
         .bitwiseAND(F.lit(255))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.base import QuerySpec
-from data_ingestion_tool_spark.sources.tables import load_table
+from data_ingestion_tool_spark.sources.tables import fan_out, load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,7 +1090,11 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() argument is identical across engines (no float accumulation
     before the transcendental).
     """
-    d = _docs(spark, sf_dir)
+    # fan_out: the tokenize + vocab-intersect + in-row pair expansion
+    # all sit below the first exchange and are heavy per-row work on
+    # the unsplittable single-row-group bench input (alternated
+    # min-of-3 A/B: 0.62×, identical rows; no-op at scale)
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
     vocab = (
         toks.groupBy("term")
@@ -2327,7 +2331,10 @@ def token_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     elimination inside higher-order functions) — O(|doc|·|grams|)
     per row, measured 10× slower at sf0.1.
     """
-    d = _docs(spark, sf_dir)
+    # fan_out: the gram transform + explode is heavy per-row work on
+    # the unsplittable single-row-group bench input (alternated
+    # min-of-3 A/B: 0.71×, identical rows; no-op at scale)
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = F.col("toks")
     grams = F.array_distinct(
         F.transform(

@@ -101,6 +101,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Redistribute an unsplittably-scanned input across the executor
+    pool before a HEAVY per-row compute stage — the input-skew remedy
+    for "one huge unsplittable file": repartition immediately after
+    the read.
+
+    Why it exists: the benchmark tables are single-row-group parquet
+    files, so no matter how small ``spark.sql.files.maxPartitionBytes``
+    is driven, the scan yields ONE non-empty partition and everything
+    below the first exchange runs on one core. A round-robin
+    repartition to the session default parallelism trades one shuffle
+    of the (pre-projected) input for a pool-wide downstream stage.
+
+    Scale-adaptive no-op: when the scan already carries ≥ default-
+    parallelism partitions — any real at-scale table, with thousands
+    of files/row groups — the input is returned unchanged, so cluster
+    plans gain no exchange. Adopted per-operator, ONLY where an
+    alternated min-of-k A/B measured a win (OPTIMIZATION_r12.md):
+    consumers with light per-row work measured SLOWER under it (the
+    shuffle costs more than the serial scan) and keep the plain scan.
+    Round-robin repartition is retry-safe (Spark's sort-before-
+    repartition default keeps row→partition assignment deterministic).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
