@@ -517,6 +517,18 @@ def main() -> None:
     gate = _idle_gate()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Local-mode heap sized to the task-thread count (r12): local[N]
+    # runs all N task threads in ONE JVM, and Spark's 1 GB default
+    # heap serves that pool at a measured 16% of executor time in GC
+    # (UI stage metrics, 8-query sweep); ~256 MB per task thread —
+    # the per-core execution memory a cluster executor would get —
+    # drops it to 3%. Parameterised: env wins, the default scales
+    # with $SPARK_GRAFT_CPUS (the driver's lower-core runs get
+    # proportionally less), and cluster deployments size executors
+    # via spark-submit, never through this knob.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEMORY", f"{min(8, max(2, cpus // 4))}g"
+    )
     total_bytes = sum(
         os.path.getsize(os.path.join(sf_dir, f))
         for f in os.listdir(sf_dir)

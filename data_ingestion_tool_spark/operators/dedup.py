@@ -348,7 +348,11 @@ def dedup_minhash_lsh(
     closure consumed by ``dedup_near_clusters`` still recovers the
     full cluster even though the pair list itself is subquadratic.
     """
-    docs = _docs(spark, sf_dir)
+    # fan_out: the posting explode + K seeded-hash min-aggs are heavy
+    # per-row work below the first exchange; one-core on the
+    # unsplittable bench input (alternated A/B: 0.80×/0.93× across two
+    # windows, identical pairs; no-op on splittable at-scale inputs)
+    docs = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     sets = shingle_sets(docs)
     candidates = minhash_lsh_candidates(docs, checkpoint=checkpoint)
     return _jaccard_pairs_from_candidates(candidates, sets)
@@ -1360,7 +1364,11 @@ def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision pairs) is identical."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    # fan_out: the per-row window-hash build (md5 per token window)
+    # is the plan's heavy stage and sits below the first exchange
+    # (alternated A/B: 0.63×/0.87× across two windows, identical
+    # pairs; no-op on splittable at-scale inputs)
+    d = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     hashes = F.array_distinct(
         F.transform(

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_tool_spark.operators.base import QuerySpec
-from data_ingestion_tool_spark.sources.tables import load_table
+from data_ingestion_tool_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 10  # queries = vec_id < 10
 TOP_K = 5
@@ -2364,7 +2364,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
-    emb = _emb(spark, sf_dir).select("embedding")
+    # fan_out: the per-batch moment kernel (chunked einsum + exact
+    # rounding) is the plan's heavy stage and runs one-core on the
+    # unsplittable single-row-group bench input (alternated A/B:
+    # 0.28×/0.35× across two windows, identical moments since the
+    # per-row products are order-independent exact integers; no-op on
+    # splittable at-scale inputs)
+    emb = fan_out(_emb(spark, sf_dir).select("embedding"))
 
     def _half_away(x: "np.ndarray") -> "np.ndarray":
         # round-half-AWAY-from-zero, matching DuckDB's round();
@@ -2536,9 +2542,12 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _emb(spark, sf_dir).select("vec_id", "embedding").mapInPandas(
-        project, "vec_id long, pc1 double, pc2 double"
-    )
+    # fan_out on the projection pass too (same unsplittable-input
+    # rationale; embedding_pca_scores measured 0.59×/0.69× across two
+    # windows with both passes fanned)
+    return fan_out(
+        _emb(spark, sf_dir).select("vec_id", "embedding")
+    ).mapInPandas(project, "vec_id long, pc1 double, pc2 double")
 
 
 SPECS: list[QuerySpec] = [
