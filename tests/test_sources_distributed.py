@@ -251,3 +251,27 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     assert set(df.columns) >= {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 0.5}
+
+
+def test_fan_out_redistributes_unsplittable_scans_only(spark, tmp_path):
+    """fan_out (r12): a single-row-group parquet scan — one non-empty
+    partition no matter the split size — is redistributed to the
+    session default parallelism with the row set intact; an input
+    already at or above that width is returned UNCHANGED (the at-scale
+    no-op contract that keeps cluster plans exchange-free)."""
+    import pandas as pd
+
+    from data_ingestion_tool_spark.sources.tables import fan_out
+
+    p = str(tmp_path / "one_rg.parquet")
+    pd.DataFrame({"id": range(1000)}).to_parquet(p)  # one row group
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() < par
+
+    out = fan_out(df)
+    assert out.rdd.getNumPartitions() == par
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+    wide = df.repartition(par)
+    assert fan_out(wide) is wide
