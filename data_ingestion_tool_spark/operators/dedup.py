@@ -156,11 +156,19 @@ def _jaccard_pairs_from_candidates(
     shuffles, one ``array_intersect`` per pair. At corpus sizes where
     the doc-set table outgrows broadcast, drop the hints and the same
     plan becomes two shuffle joins.
+
+    The hashed table is materialized ONCE (eager ``localCheckpoint``,
+    round 12): it feeds TWO broadcast builds (the doc_a and doc_b
+    sides), whose subtrees differ only by alias, so without the
+    checkpoint the tokenize → shingle → array_distinct → hash pass ran
+    over the corpus twice — once per broadcast (no exchange reuse
+    across differently-aliased broadcasts). One corpus pass instead of
+    two at any scale; blocks are |docs| × ~K longs, distributed.
     """
     hashed = sets.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     joined = candidates.join(
         F.broadcast(
             hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
@@ -988,7 +996,9 @@ def _fuzzy_seg(target_len, i: int):
     return start, length
 
 
-def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_title_pairs(
+    spark: SparkSession, sf_dir: str, *, checkpoint: bool = True
+) -> DataFrame:
     """Edit-distance similarity join: document-head pairs within
     Levenshtein distance {d}, found with PassJoin segment blocking
     (Li, Deng & Feng, VLDB 2011) instead of an all-pairs scan —
@@ -1042,6 +1052,28 @@ def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(F.trim("text"), 1, _FUZZY_PREFIX).alias("title"),
     ).withColumn("len", F.length("title").cast("int"))
+    # Materialize the (doc_id, title, len) table ONCE (round 12): the
+    # index, probe, length-broadcast, hot-member and tiny-title
+    # subtrees all derive from ``d``, and with a lazy ``d`` the
+    # documents scan + trim/substring re-ran 26 times across the full
+    # plan (26 "Scan parquet" nodes in the r12 plan dump). The
+    # checkpointed table is ~40 bytes/doc (id + ≤20-char title + int)
+    # — distributed blocks, never driver state — so this holds at any
+    # corpus size. ``fan_out`` BEFORE the checkpoint: the blocks
+    # inherit the scan's partitioning, and the unsplittable
+    # single-row-group bench input would otherwise pin all 16
+    # downstream single-task stages (probe/index explodes, candidate
+    # joins, Levenshtein verify) to one core (alternated min-of-4 A/B:
+    # 0.72×, identical pairs; no-op on splittable at-scale inputs).
+    # The exchange moves the 40-byte projection, never the full text
+    # (guide §2.3, project before the exchange). ``checkpoint=False``
+    # is the plan-inspection escape hatch (same convention as
+    # dedup_minhash_lsh/dedup_simhash): an eager localCheckpoint
+    # truncates lineage to a Scan ExistingRDD, which would hide the
+    # candidate-generation plan from the registry-wide plan-contract
+    # tests.
+    if checkpoint:
+        d = fan_out(d).localCheckpoint(eager=True)
 
     # ---- index side: the d+1 segments of every title of len >= k,
     # keyed by xxhash64(len, seg, content) — 8-byte join keys instead

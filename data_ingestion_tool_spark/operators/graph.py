@@ -50,6 +50,15 @@ def _supply_graph(
     """Symmetric (edges, out-degree, pairs) of the customer↔supplier
     graph.
 
+    Node ids are BIGINT end-to-end (round 12, guide §2.3 narrower
+    types): customer ``c`` is ``2c``, supplier ``s`` is ``2s+1`` — the
+    parity bit replaces the old ``"c"||key`` / ``"s"||key`` STRING ids,
+    so every setup distinct, the degree agg, the per-iteration src
+    join, and the dst hash-agg hash/compare/shuffle 8-byte longs
+    instead of variable-width strings. The public ``node`` column is
+    decoded back to the identical string form in the final projection
+    only (:func:`pagerank_supply_graph`), so results are byte-equal.
+
     ``persist_pairs=True`` caches the distinct pair table before it
     fans out (round 12): ``pairs`` feeds FOUR subtrees — both union
     directions of ``edges``, which itself feeds both ``deg`` and the
@@ -64,8 +73,8 @@ def _supply_graph(
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
         )
         .distinct()
     )
@@ -153,7 +162,20 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = _pr_iteration(edges_deg, ranks, teleport).localCheckpoint(
                 eager=(it == _PR_ITERS - 1)
             )
-        return ranks
+        # decode the BIGINT node ids (2c / 2s+1, see _supply_graph)
+        # back to the public "c{key}"/"s{key}" strings — one projection
+        # over the final checkpointed table, identical output to the
+        # all-string lineage. (2k+1) div 2 == k, so both parities share
+        # the `node div 2` decode.
+        return ranks.select(
+            F.concat(
+                F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(
+                    F.lit("s")
+                ),
+                F.expr("node div 2"),
+            ).alias("node"),
+            "r",
+        )
     finally:
         edges_deg.unpersist()
         deg.unpersist()

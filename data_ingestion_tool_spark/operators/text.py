@@ -1105,6 +1105,13 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab_arr = vocab.agg(F.collect_list("term").alias("varr"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # materialized ONCE (eager localCheckpoint, round 12): doc_terms
+    # feeds BOTH the per-term counts and the pair expansion, and the
+    # two subtrees re-ran the tokenize + array_distinct + broadcast
+    # intersect over the corpus independently (the r12 plan dump shows
+    # the documents scan 14× across the full plan). One corpus pass
+    # instead of two at any scale; blocks are |docs| × ≤V terms,
+    # distributed, released with the result.
     doc_terms = (
         d.select("doc_id", F.array_distinct(_tokens()).alias("ts0"))
         .crossJoin(F.broadcast(vocab_arr))
@@ -1112,6 +1119,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.sort_array(F.array_intersect("ts0", "varr")).alias("ts"),
         )
+        .localCheckpoint(eager=True)
     )
     n_term = (
         doc_terms.select(F.explode("ts").alias("term"))

@@ -96,6 +96,46 @@ def test_simhash_candidates_are_bucketed_not_all_pairs(spark):
     assert "CartesianProduct" not in text
 
 
+def test_fuzzy_checkpoint_collapses_scans_and_matches_lazy_path(spark):
+    """Round-12 optimization contract for fuzzy_title_pairs: the
+    execution path materializes the (doc_id, title, len) table once —
+    its plan must contain ZERO parquet scans (the single scan runs
+    inside the eager checkpoint job; every subtree reads the RDD
+    blocks), where the lazy plan re-derived the documents scan 26×.
+    The two paths must emit identical pairs."""
+    from data_ingestion_tool_spark.operators.dedup import fuzzy_title_pairs
+    from data_ingestion_tool_spark.plans import formatted_plan
+
+    ckpt = fuzzy_title_pairs(spark, SF_CORRECT)
+    text = formatted_plan(ckpt)
+    assert "Scan parquet" not in text
+    assert "ExistingRDD" in text
+    lazy = fuzzy_title_pairs(spark, SF_CORRECT, checkpoint=False)
+    assert "Scan parquet" in formatted_plan(lazy)
+    assert sorted(map(tuple, ckpt.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
+
+
+def test_pagerank_computes_on_bigint_ids_decodes_strings_last(spark):
+    """Round-12 narrower-types contract: the supply graph's node ids
+    are BIGINT through every join/agg (guide §2.3 — 8-byte hash keys,
+    not variable-width strings); only the operator's final projection
+    decodes the public "c{key}"/"s{key}" strings."""
+    from data_ingestion_tool_spark.operators.graph import (
+        _supply_graph,
+        pagerank_supply_graph,
+    )
+
+    edges, deg, _pairs = _supply_graph(spark, SF_CORRECT)
+    assert dict(edges.dtypes) == {"src": "bigint", "dst": "bigint"}
+    assert dict(deg.dtypes)["src"] == "bigint"
+    out = pagerank_supply_graph(spark, SF_CORRECT)
+    assert dict(out.dtypes) == {"node": "string", "r": "bigint"}
+    sample = {r["node"][0] for r in out.limit(50).collect()}
+    assert sample <= {"c", "s"}
+
+
 def test_blocked_near_dup_has_no_broadcast_and_one_shuffle(spark):
     """The no-broadcast scale path: one explode (bounded replication),
     one shuffle (the block-pair groupBy), zero broadcast of any side,
@@ -492,6 +532,7 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
     from data_ingestion_tool_spark.operators.dedup import (
         dedup_minhash_lsh,
         dedup_simhash,
+        fuzzy_title_pairs,
     )
 
     from data_ingestion_tool_spark.operators.rangejoin import (
@@ -502,6 +543,7 @@ def test_no_unbounded_pair_enumeration_anywhere(spark):
         "dedup_minhash_lsh": partial(dedup_minhash_lsh, checkpoint=False),
         "dedup_simhash": partial(dedup_simhash, checkpoint=False),
         "concurrent_sessions": partial(concurrent_sessions, checkpoint=False),
+        "fuzzy_title_pairs": partial(fuzzy_title_pairs, checkpoint=False),
     }
 
     offenders = {}

@@ -35,6 +35,7 @@ def _pre_checkpoint_builders():
     from data_ingestion_tool_spark.operators.dedup import (
         dedup_minhash_lsh,
         dedup_simhash,
+        fuzzy_title_pairs,
     )
     from data_ingestion_tool_spark.operators.rangejoin import (
         concurrent_sessions,
@@ -44,6 +45,7 @@ def _pre_checkpoint_builders():
         "dedup_minhash_lsh": partial(dedup_minhash_lsh, checkpoint=False),
         "dedup_simhash": partial(dedup_simhash, checkpoint=False),
         "concurrent_sessions": partial(concurrent_sessions, checkpoint=False),
+        "fuzzy_title_pairs": partial(fuzzy_title_pairs, checkpoint=False),
     }
 
 
