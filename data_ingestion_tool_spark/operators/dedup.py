@@ -324,13 +324,40 @@ def minhash_signatures(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def minhash_signatures_from_docs(df: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Same signatures, built via the fast posting path."""
-    posting = hashed_postings_from_docs(df)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return posting.groupBy("doc_id").agg(*aggs)
+    """Same signature VALUES as :func:`minhash_signatures`, computed
+    NARROWLY (round 12): instead of exploding the postings and paying
+    a doc-keyed exchange into K min-aggregates, each doc row computes
+    its K signature components in place —
+    ``array_min(transform(grams, g -> xxhash64(i, xxhash64(g))))`` —
+    so the signature stage is a pure projection: zero shuffles, no
+    2M-row posting materialization, same per-gram hash count. The min
+    over the raw gram multiset equals the min over the distinct set
+    (min is duplicate-insensitive), so the values are bit-identical
+    to the explode+agg formulation at any scale."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = 3
+    gram = " , ".join(f"toks[i+{j}]" for j in range(n))
+    raw = F.expr(
+        f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {gram}))"
+    )
+    hashed = F.transform(raw, lambda s: F.xxhash64(s))
+
+    # NB: the seed must be bound through a closure that keeps the
+    # lambda SINGLE-argument — a two-parameter lambda (e.g. a default
+    # arg) makes PySpark pass the (element, index) form and the array
+    # index silently replaces the seed
+    def _seeded_min(i: int):
+        return F.array_min(
+            F.transform(F.col("grams"), lambda g: F.xxhash64(F.lit(i), g))
+        )
+
+    sig_cols = [_seeded_min(i).alias(f"h{i}") for i in range(k)]
+    return (
+        df.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", hashed.alias("grams"))
+        .select("doc_id", *sig_cols)
+    )
 
 
 def dedup_minhash_lsh(

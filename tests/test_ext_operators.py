@@ -41,6 +41,35 @@ def test_minhash_lsh_matches_exact_jaccard(spark, exact_pairs):
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9"
 
 
+def test_minhash_narrow_signatures_equal_explode_agg_form(spark):
+    """Round-12 optimization contract: the narrow (projection-only)
+    signature computation must produce BIT-IDENTICAL h0..hK to the
+    explode → groupBy → K-min-aggregates formulation it replaced —
+    min over the raw gram multiset equals min over the distinct set.
+    Also pins the seed-binding regression: a two-parameter transform
+    lambda would silently receive the array index as the seed."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_tool_spark.operators.dedup import (
+        MINHASH_K,
+        _docs,
+        hashed_postings_from_docs,
+        minhash_signatures_from_docs,
+    )
+
+    docs = _docs(spark, SF_CORRECT).select("doc_id", "text")
+    narrow = sorted(
+        map(tuple, minhash_signatures_from_docs(docs).collect())
+    )
+    posting = hashed_postings_from_docs(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    agg_form = sorted(map(tuple, posting.groupBy("doc_id").agg(*aggs).collect()))
+    assert narrow == agg_form and narrow
+
+
 def test_minhash_hot_bucket_candidates_are_bounded_and_connected(spark):
     """Round-4 verdict: a duplicate-heavy corpus (1000 copies of one
     doc → every band bucket holds all 1000) must NOT produce ~m²
