@@ -475,6 +475,79 @@ def _idle_gate() -> dict:
     }
 
 
+#: Byte budget for the ONE stdout JSON line. The round driver keeps
+#: only the LAST 2000 output chars and parses the final JSON line, so
+#: the line plus its newline must stay under ~1998 bytes (the r04
+#: record was lost to a 2.3 KB line).
+STDOUT_BUDGET = 1970
+
+
+def _stdout_line(out: dict, timings: dict[str, float]) -> str:
+    """Render the compact stdout record, guaranteed under the tail
+    budget WITHOUT dropping queries. r12 lesson (verdict item 2): the
+    old fit-by-dropping-the-fastest-queries path silently truncated
+    22/69 timings, which manufactured 6 phantom "dropped_from_bench"
+    rows and 46 phantom "queries_dropped" in the driver's
+    round-over-round diff. Every query must print: degrade METADATA
+    first (it all survives in BENCH_LOCAL.json / the history / the
+    stderr full record), then timing precision to 1 decimal, and only
+    then — as a never-expected last resort — drop entries (counted in
+    ``queries_omitted``)."""
+
+    def _round_t(t: float, dec: int) -> float | int:
+        # degraded tiers (dec=1) drop the decimal entirely at >= 10 s:
+        # in a throttled window every entry needing "12.3" instead of
+        # "1.2" would overflow the budget, and integer-second precision
+        # on a >= 10 s timing is a < 5% quantization — smaller than the
+        # window noise that produced it
+        if dec == 1 and t >= 10:
+            return int(round(t))
+        return round(t, dec)
+
+    def _line(meta: dict, dec: int) -> str:
+        c = dict(meta,
+                 queries={n: _round_t(t, dec) for n, t in timings.items()})
+        return json.dumps(c, separators=(",", ":"))
+
+    full_meta = dict(out)
+    # per-attempt log lives in the full record/history only
+    full_meta.pop("sweep_attempt_log", None)
+    tree = out.get("tree") or ""
+    slim_meta = {
+        "metric": out["metric"], "value": out["value"], "unit": "sec",
+        "queries": {}, "sf": out["sf"], "n_queries": out["n_queries"],
+        "sweep_healthy": out["sweep_healthy"],
+        "sweep_attempts": out["sweep_attempts"],
+        "tree": tree[:12], "dirty": out["dirty"],
+    }
+    slimmest = {
+        "metric": out["metric"], "value": round(out["value"], 2),
+        "unit": "sec", "queries": {}, "sf": out["sf"],
+        "sweep_healthy": out["sweep_healthy"],
+        "tree": tree[:12], "dirty": out["dirty"],
+    }
+    bare = {
+        "metric": out["metric"], "value": round(out["value"], 1),
+        "unit": "sec", "queries": {}, "sf": out["sf"],
+    }
+    line = _line(full_meta, 2)
+    for meta, dec in ((slim_meta, 2), (slim_meta, 1),
+                      (slimmest, 1), (bare, 1)):
+        if len(line) <= STDOUT_BUDGET:
+            return line
+        line = _line(meta, dec)
+    if len(line) > STDOUT_BUDGET:
+        compact = dict(bare)
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > STDOUT_BUDGET and by_cost:
+            by_cost.pop()
+            compact["queries"] = {n: _round_t(timings[n], 1)
+                                  for n in by_cost}
+            compact["queries_omitted"] = len(timings) - len(by_cost)
+            line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -656,24 +729,7 @@ def main() -> None:
             fh.write(json.dumps(hist) + "\n")
     except OSError:
         pass
-    # stdout: ONE compact JSON line guaranteed under the tail budget —
-    # 2-decimal timings, no spaces; if still over, drop the FASTEST
-    # entries (the slow ones are what perf analysis needs) and count
-    # the omissions.
-    budget = 1900
-    compact = dict(out, queries={n: round(t, 2) for n, t in timings.items()})
-    # per-attempt log lives in the full record/history only; the
-    # compact stdout line keeps the kept attempt's summary fields
-    compact.pop("sweep_attempt_log", None)
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > budget:
-        by_cost = sorted(timings, key=timings.get, reverse=True)
-        while len(line) > budget and by_cost:
-            by_cost.pop()
-            compact["queries"] = {n: round(timings[n], 2) for n in by_cost}
-            compact["queries_omitted"] = len(timings) - len(by_cost)
-            line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_stdout_line(out, timings))
     spark.stop()
 
 

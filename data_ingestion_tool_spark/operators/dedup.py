@@ -147,7 +147,7 @@ def shingle_sets(df: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _jaccard_pairs_from_candidates(
-    candidates: DataFrame, sets: DataFrame
+    candidates: DataFrame, sets: DataFrame, *, checkpoint: bool = True
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
 
@@ -164,11 +164,19 @@ def _jaccard_pairs_from_candidates(
     over the corpus twice — once per broadcast (no exchange reuse
     across differently-aliased broadcasts). One corpus pass instead of
     two at any scale; blocks are |docs| × ~K longs, distributed.
+
+    ``checkpoint=False`` (r12 ADVICE) keeps the raw lineage so the
+    plan-inspection escape hatch of the CALLERS (``checkpoint=False``
+    on ``dedup_minhash_lsh`` etc., used by the plan-contract tests and
+    the plan-dump tools) doesn't execute a Spark job at plan-build
+    time or truncate the verify-side lineage to a Scan ExistingRDD.
     """
     hashed = sets.select(
         "doc_id",
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh"),
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint:
+        hashed = hashed.localCheckpoint(eager=True)
     joined = candidates.join(
         F.broadcast(
             hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
@@ -333,7 +341,15 @@ def minhash_signatures_from_docs(df: DataFrame, k: int = MINHASH_K) -> DataFrame
     2M-row posting materialization, same per-gram hash count. The min
     over the raw gram multiset equals the min over the distinct set
     (min is duplicate-insensitive), so the values are bit-identical
-    to the explode+agg formulation at any scale."""
+    to the explode+agg formulation at any scale.
+
+    PRECONDITION (r12 ADVICE): ``doc_id`` must be unique in ``df``.
+    The explode+agg form collapsed duplicate doc_id rows into one
+    signature; this per-row projection emits one signature row PER
+    INPUT ROW, so downstream LSH banding multiplicity now depends on
+    the input's uniqueness. Every caller feeds the documents table,
+    whose doc_id is a primary key (enforced by the ingest contract and
+    the oracle schema)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = 3
     gram = " , ".join(f"toks[i+{j}]" for j in range(n))
@@ -390,7 +406,9 @@ def dedup_minhash_lsh(
     docs = fan_out(_docs(spark, sf_dir).select("doc_id", "text"))
     sets = shingle_sets(docs)
     candidates = minhash_lsh_candidates(docs, checkpoint=checkpoint)
-    return _jaccard_pairs_from_candidates(candidates, sets)
+    return _jaccard_pairs_from_candidates(
+        candidates, sets, checkpoint=checkpoint
+    )
 
 
 def minhash_lsh_candidates(
@@ -427,9 +445,11 @@ def minhash_lsh_candidates(
         f"{b}, band{b}" for b in range(MINHASH_BANDS)
     )
     # persisted for the duration of THIS builder only (unpersisted
-    # below once the candidate union is checkpointed): the signature
-    # stage (posting explode + K min-aggs) feeds the size window and
-    # both bucket paths
+    # below once the candidate union is checkpointed): the banded
+    # long form feeds THREE consumers — the bucket-size window and
+    # both bucket paths' self-join sides — and its lineage (the r12
+    # projection-only signature stage) would otherwise recompute the
+    # K seeded gram-hash mins per consumer
     long_form = banded.selectExpr(
         "doc_id",
         f"stack({MINHASH_BANDS}, {stack_expr}) AS (band_idx, band_hash)",

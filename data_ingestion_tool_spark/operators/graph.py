@@ -73,8 +73,11 @@ def _supply_graph(
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("cust"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp"),
+            # cast BEFORE doubling (r12 ADVICE): if a source ever loads
+            # keys as INT, `key * 2` would stay 32-bit and wrap silently
+            # at scale under non-ANSI arithmetic
+            (F.col("o_custkey").cast("bigint") * 2).alias("cust"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("supp"),
         )
         .distinct()
     )

@@ -77,6 +77,80 @@ def test_plans_md_covers_audited_queries():
         assert name in reg, f"PLANS.md section {name} not in registry"
 
 
+def test_bench_stdout_line_prints_every_headline_query():
+    """r12 verdict item 2: the compact stdout line silently dropped the
+    22 fastest of 69 timings to fit the driver's 2000-char tail budget,
+    which manufactured phantom "dropped_from_bench" rows in the
+    round-over-round diff. The line must now carry EVERY headline query
+    (metadata and precision degrade instead), stay under the budget,
+    and keep the driver contract keys."""
+    import json
+
+    import bench
+
+    names = [n for n in bench.HEADLINE]
+    assert len(names) >= 69
+    # worst realistic shape: every timing needs 4 chars ("12.3")
+    timings = {n: 10.0 + (i % 90) / 10.0 for i, n in enumerate(names)}
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": sum(timings.values()),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "runs": 2,
+        "n_queries": len(names),
+        "calibration": {"gemm_sec": 0.09749, "sort_sec": 0.52193,
+                        "spark_job_sec": 0.18811, "disk_sec": 0.18927},
+        "load1": 8.63,
+        "idle_gate": True,
+        "load1_at_gate": 0.26,
+        "gemm_at_gate": 0.08634,
+        "idle_wait_sec": 15.0,
+        "sweep_healthy": True,
+        "sweep_attempts": 2,
+        "sched_at_start": 0.11618,
+        "sched_at_end": 0.09612,
+        "gemm_at_end": 0.05153,
+        "sustained_at_start": 1.434,
+        "sustained_at_end": 1.717,
+        "sustained_band_sec": 2.6,
+        "sweep_attempt_log": [{"total": 1.0}],
+        "tree": "6d6758aecf0abd3dba72b78dab878dd5038b5570",
+        "dirty": False,
+    }
+    line = bench._stdout_line(out, timings)
+    assert len(line) <= bench.STDOUT_BUDGET
+    parsed = json.loads(line)
+    # driver contract keys survive every degradation tier
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, key
+    assert set(parsed["queries"]) == set(names)
+    assert "queries_omitted" not in parsed
+    # timings stay within rounding of the real values (1 decimal below
+    # 10 s, integer seconds above)
+    for n, t in timings.items():
+        tol = 0.5 if t >= 10 else 0.05
+        assert abs(parsed["queries"][n] - t) <= tol + 1e-9
+    # a dirty tree must not blow the budget via the dirty_files list
+    out_dirty = dict(out, dirty=True,
+                     dirty_files=["CORRECTNESS_r13.json", "VERIFY_r13.json"])
+    line2 = bench._stdout_line(out_dirty, timings)
+    assert len(line2) <= bench.STDOUT_BUDGET
+    parsed2 = json.loads(line2)
+    assert set(parsed2["queries"]) == set(names)
+    assert parsed2["dirty"] is True
+    # last-resort path: an absurd fleet still prints a parseable,
+    # under-budget line with the omissions counted
+    big = {f"query_with_a_rather_long_name_{i:04d}": 1.0 for i in range(200)}
+    out_big = dict(out, queries=big, n_queries=len(big))
+    line3 = bench._stdout_line(out_big, big)
+    assert len(line3) <= bench.STDOUT_BUDGET
+    parsed3 = json.loads(line3)
+    assert parsed3["queries_omitted"] == len(big) - len(parsed3["queries"])
+    assert parsed3["queries_omitted"] > 0
+
+
 def test_bench_diff_reads_both_formats(tmp_path):
     """tools/bench_diff.py accepts bench.py's raw line and the round
     driver's wrapper, and flags regressions via exit code."""
