@@ -2542,12 +2542,19 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # fan_out on the projection pass too (same unsplittable-input
-    # rationale; embedding_pca_scores measured 0.59×/0.69× across two
-    # windows with both passes fanned)
-    return fan_out(
-        _emb(spark, sf_dir).select("vec_id", "embedding")
-    ).mapInPandas(project, "vec_id long, pc1 double, pc2 double")
+    # NO fan_out on the projection pass (round 13, reversing round
+    # 12): the official r12 record regressed 0.51× and the 8-core run
+    # beat 32 cores (scaling ratio 0.53) with both passes fanned. The
+    # r13 adjudication A/B (alternated min-of-4, plain won all four
+    # alternations, ratio 0.88×, rows identical) confirmed the
+    # official record: the projection kernel is one trivial GEMM per
+    # batch, so the RoundRobin exchange of the full embedding payload
+    # costs more than the serial scan it parallelizes. The moment
+    # pass keeps its fan_out inside embedding_covariance (2.17×
+    # official win, independently validated).
+    return _emb(spark, sf_dir).select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, pc1 double, pc2 double"
+    )
 
 
 SPECS: list[QuerySpec] = [
